@@ -1,0 +1,87 @@
+"""Inference input iterators: files / folders / videos -> letterboxed batches.
+
+The reference's ``LoadImages`` (+``LoadWebcam``) iterate a source path and
+yield letterboxed tensors for detect.py (SURVEY.md §2 "inference loaders").
+This version additionally supports fixed-size batching so the jitted
+detector compiles once.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+from .letterbox import letterbox
+
+IMG_EXTS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
+VID_EXTS = {".avi", ".mov", ".mp4", ".mpeg", ".mpg", ".wmv", ".mkv"}
+
+
+def list_sources(source: str) -> List[str]:
+    if os.path.isdir(source):
+        files = sorted(glob.glob(os.path.join(source, "*.*")))
+    elif os.path.isfile(source):
+        files = [source]
+    else:
+        files = sorted(glob.glob(source))
+    out = [f for f in files
+           if os.path.splitext(f)[1].lower() in IMG_EXTS | VID_EXTS]
+    if not out:
+        raise FileNotFoundError(f"no images/videos found at {source}")
+    return out
+
+
+class LoadImages:
+    """Iterate over image/video files yielding
+    (path, letterboxed_img, original_img, ratio, pad)."""
+
+    def __init__(self, source: str, img_size: int = 608):
+        self.files = list_sources(source)
+        self.img_size = img_size
+
+    def __len__(self):
+        return len(self.files)
+
+    def __iter__(self) -> Iterator[Tuple[str, np.ndarray, np.ndarray,
+                                         float, Tuple[float, float]]]:
+        import cv2
+
+        for path in self.files:
+            ext = os.path.splitext(path)[1].lower()
+            if ext in VID_EXTS:
+                cap = cv2.VideoCapture(path)
+                fidx = 0
+                while True:
+                    ok, img0 = cap.read()
+                    if not ok:
+                        break
+                    boxed, ratio, pad = letterbox(img0, self.img_size)
+                    yield f"{path}#frame{fidx}", boxed, img0, ratio, pad
+                    fidx += 1
+                cap.release()
+            else:
+                img0 = cv2.imread(path)
+                if img0 is None:
+                    raise IOError(f"failed to read {path}")
+                boxed, ratio, pad = letterbox(img0, self.img_size)
+                yield path, boxed, img0, ratio, pad
+
+
+def batched(iterable, batch_size: int):
+    """Group an iterator into fixed-size batches; the last batch is padded by
+    repeating its final element so jitted shapes stay constant. Yields
+    (items, n_real)."""
+    buf = []
+    for item in iterable:
+        buf.append(item)
+        if len(buf) == batch_size:
+            yield buf, batch_size
+            buf = []
+    if buf:
+        n_real = len(buf)
+        while len(buf) < batch_size:
+            buf.append(buf[-1])
+        yield buf, n_real

@@ -1,0 +1,114 @@
+"""High-level detection API: one jitted images -> rotated detections graph.
+
+This is the north-star inference path (BASELINE.json, SURVEY.md §3.2): the
+reference runs forward-then-python-NMS with a host sync per image; here
+normalisation, the Darknet backbone, rotated decode, confidence top-k, and
+rotated NMS compile into a single fixed-shape XLA program that stays on
+device end to end.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config.parse import parse_model_cfg
+from .models.darknet import (NetworkSpec, apply_fused, apply_network,
+                             build_network, fuse_bn, init_params)
+from .models.weights_io import load_darknet_weights
+from .models.yolo_head import decode_all
+from .ops.rotated_nms import non_max_suppression
+
+
+class Detector:
+    """Compiled rotated-object detector.
+
+    Mirrors the reference detect.py stack (cfg -> model -> weights -> NMS,
+    SURVEY.md §3.2) behind a jitted callable:
+
+        det = Detector("cfg/yolov3-rotate-hrsc.cfg", weights="model.weights")
+        boxes, mask = det(images)   # (B,H,W,3) uint8/float -> (B,K,7), (B,K)
+
+    Detection rows are (cx, cy, w, h, theta, score, class) in net-input
+    pixels, score-sorted, padded to ``max_det`` with a validity mask.
+
+    Args:
+      cfg_path: Darknet .cfg file.
+      weights: optional .weights checkpoint to load.
+      img_size: net input size (defaults to the cfg's [net] width).
+      conf_thres / nms_thres / max_det: post-processing knobs (reference
+        detect.py flag names).
+      compute_dtype: jnp.bfloat16 puts the conv stack on the MXU's native
+        precision (decode/NMS stay f32); float32 for exact parity runs.
+      iou_matrix_fn: override the NMS pairwise-IoU implementation (e.g. the
+        Pallas kernel from ops.skew_iou_pallas).
+    """
+
+    def __init__(self, cfg_path: str, weights: Optional[str] = None,
+                 img_size: Optional[int] = None, conf_thres: float = 0.3,
+                 nms_thres: float = 0.4, max_det: int = 512,
+                 compute_dtype=jnp.float32, iou_matrix_fn=None,
+                 seed: int = 0):
+        self.spec: NetworkSpec = build_network(
+            parse_model_cfg(cfg_path), img_size=img_size)
+        self.img_size = self.spec.img_size
+        self.conf_thres = conf_thres
+        self.nms_thres = nms_thres
+        self.max_det = max_det
+        self.compute_dtype = compute_dtype
+
+        params, state = init_params(self.spec, jax.random.PRNGKey(seed))
+        self.seen = 0
+        if weights is not None:
+            params, state, self.seen = load_darknet_weights(
+                self.spec, params, state, weights)
+        self.params, self.state = params, state
+        # inference always runs BN-folded
+        self.fused_params = fuse_bn(self.spec, params, state)
+
+        spec = self.spec
+
+        @functools.partial(jax.jit, static_argnames=("train",))
+        def _infer(fused_params, images, train=False):
+            x = images.astype(compute_dtype) / 255.0
+            heads = apply_fused(spec, fused_params, x)
+            heads = [h.astype(jnp.float32) for h in heads]
+            pred = decode_all(heads, spec.yolo_specs)
+            return non_max_suppression(
+                pred, conf_thres=conf_thres, nms_thres=nms_thres,
+                max_det=max_det, iou_matrix_fn=iou_matrix_fn)
+
+        self._infer = _infer
+
+    def __call__(self, images) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Run detection on (B, H, W, 3) images (uint8 or float 0-255)."""
+        images = jnp.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+        assert images.shape[1] == images.shape[2] == self.img_size, (
+            f"expected {self.img_size}x{self.img_size} letterboxed input, "
+            f"got {images.shape}; use data.letterbox first")
+        return self._infer(self.fused_params, images)
+
+    def predict_raw(self, images) -> jnp.ndarray:
+        """Decoded predictions before NMS (B, N, 6+nc) — eval-path hook."""
+        images = jnp.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+
+        x = images.astype(self.compute_dtype) / 255.0
+        heads = apply_fused(self.spec, self.fused_params, x)
+        heads = [h.astype(jnp.float32) for h in heads]
+        return decode_all(heads, self.spec.yolo_specs)
+
+
+def detections_to_numpy(dets, mask):
+    """Unpad a fixed-shape detection batch to per-image numpy arrays —
+    the boundary where the reference's ragged list-of-boxes API is restored
+    for file output / drawing."""
+    dets, mask = np.asarray(dets), np.asarray(mask)
+    return [d[m] for d, m in zip(dets, mask)]

@@ -1,0 +1,13 @@
+from .darknet import (NetworkSpec, YoloSpec, apply_fused, apply_network,
+                      build_network, count_params, fuse_bn, init_params)
+from .weights_io import load_darknet_weights, save_darknet_weights
+from .yolo_head import (ANGLE_RANGE, decode_all, decode_head, head_anchors,
+                        num_predictions, reshape_head)
+
+__all__ = [
+    "NetworkSpec", "YoloSpec", "apply_fused", "apply_network",
+    "build_network", "count_params", "fuse_bn", "init_params",
+    "load_darknet_weights", "save_darknet_weights",
+    "ANGLE_RANGE", "decode_all", "decode_head", "head_anchors",
+    "num_predictions", "reshape_head",
+]

@@ -1,0 +1,131 @@
+"""Fixed-shape rotated NMS + detection post-processing, fully on device.
+
+TPU-native replacement for the reference's ``non_max_suppression`` driver +
+RRPN-lineage CUDA kernel (SURVEY.md §2 "rotated NMS"). The reference returns
+ragged per-image Python lists, forcing a host sync per image; XLA hates
+dynamic shapes, so here every stage is fixed-shape:
+
+  1. score = obj * max-class-prob; confidence-threshold mask;
+  2. ``lax.top_k`` keeps the best ``max_det`` candidates per image
+     (padding entries get score 0 / zero-area boxes — skew-IoU of a
+     zero-area box is defined as 0, so they never suppress anything);
+  3. pairwise skew-IoU matrix over the kept candidates (the O(K²) hot part —
+     pure-jnp here, with a Pallas kernel drop-in in ``skew_iou_pallas``);
+  4. greedy suppression as a ``lax.fori_loop`` of K cheap vector steps
+     (the iterative-masking formulation of sequential greedy NMS);
+  5. outputs: (max_det, 7) boxes ``(cx, cy, w, h, theta, score, class)``
+     sorted by score, plus a validity mask — bit-equivalent in content to
+     the reference's sorted list-of-boxes, just padded.
+
+Class-aware suppression uses the class-offset trick: box centers are
+translated by ``class_id * offset`` so boxes of different classes can never
+overlap — one NMS pass instead of a per-class Python loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# translation applied per class id so cross-class pairs have IoU 0
+_CLASS_OFFSET = 1e5
+
+
+def greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,
+                    iou_thr: float) -> jnp.ndarray:
+    """Greedy NMS over a precomputed IoU matrix.
+
+    Args:
+      iou:   (K, K) pairwise IoU, rows/cols in DESCENDING score order.
+      valid: (K,) candidate validity (score above threshold, not padding).
+      iou_thr: suppression threshold.
+    Returns:
+      (K,) bool keep mask.
+
+    Greedy NMS is inherently sequential in the kept set; the loop runs K
+    steps of O(K) vector work on the VPU — with K = max_det (hundreds) this
+    is negligible next to the IoU matrix build (SURVEY.md §7 "hard parts"
+    (b): iterative masking keeps it on-device).
+    """
+    k = iou.shape[0]
+    idx = jnp.arange(k)
+
+    def body(i, suppressed):
+        keep_i = valid[i] & ~suppressed[i]
+        kill = keep_i & (iou[i] > iou_thr) & (idx > i)
+        return suppressed | kill
+
+    suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
+    return valid & ~suppressed
+
+
+def _nms_single(pred: jnp.ndarray, conf_thres: float, nms_thres: float,
+                max_det: int,
+                iou_matrix_fn: Callable) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-image NMS: (N, 6+nc) decoded preds -> ((max_det, 7), (max_det,))."""
+    nc = pred.shape[-1] - 6
+    boxes = pred[:, :5]
+    obj = pred[:, 5]
+    if nc > 1:
+        cls_prob = pred[:, 6:]
+        cls_id = jnp.argmax(cls_prob, axis=-1)
+        score = obj * jnp.max(cls_prob, axis=-1)
+    else:
+        cls_id = jnp.zeros(pred.shape[0], jnp.int32)
+        score = obj * pred[:, 6] if nc == 1 else obj
+
+    conf_mask = score >= conf_thres
+    ranked = jnp.where(conf_mask, score, 0.0)
+    k = min(max_det, pred.shape[0])
+    top_scores, top_idx = jax.lax.top_k(ranked, k)
+    top_boxes = boxes[top_idx]
+    top_cls = cls_id[top_idx]
+    valid = top_scores > jnp.maximum(conf_thres, 0.0)
+    # zero out padding boxes -> zero-area -> IoU 0 with everything
+    top_boxes = jnp.where(valid[:, None], top_boxes, 0.0)
+
+    # class-offset trick: translate centers per class id
+    shifted = top_boxes.at[:, 0].add(top_cls.astype(top_boxes.dtype)
+                                     * _CLASS_OFFSET)
+    iou = iou_matrix_fn(shifted, shifted)
+    keep = greedy_suppress(iou, valid, nms_thres)
+
+    out = jnp.concatenate(
+        [top_boxes, top_scores[:, None], top_cls[:, None].astype(pred.dtype)],
+        axis=-1)
+    out = jnp.where(keep[:, None], out, 0.0)
+    if k < max_det:
+        out = jnp.pad(out, ((0, max_det - k), (0, 0)))
+        keep = jnp.pad(keep, (0, max_det - k))
+    return out, keep
+
+
+def non_max_suppression(pred: jnp.ndarray, conf_thres: float = 0.1,
+                        nms_thres: float = 0.4, max_det: int = 512,
+                        iou_matrix_fn: Optional[Callable] = None
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched rotated NMS: the reference's L5 public interface, fixed-shape.
+
+    Args:
+      pred: (B, N, 6+nc) decoded predictions from ``models.decode_all``.
+      conf_thres, nms_thres: score / IoU thresholds (reference flag names).
+      max_det: padded per-image detection capacity.
+      iou_matrix_fn: pairwise-IoU implementation; defaults to the Pallas
+        TPU kernel on TPU backends and the pure-jnp exact skew-IoU
+        elsewhere (both produce identical results; see tests/test_pallas.py).
+    Returns:
+      detections (B, max_det, 7) = (cx, cy, w, h, theta, score, class),
+      sorted by score descending, and validity mask (B, max_det).
+    """
+    if iou_matrix_fn is None:
+        from .skew_iou_pallas import skew_iou_matrix_auto
+        fn = skew_iou_matrix_auto
+    else:
+        fn = iou_matrix_fn
+    single = functools.partial(_nms_single, conf_thres=conf_thres,
+                               nms_thres=nms_thres, max_det=max_det,
+                               iou_matrix_fn=fn)
+    return jax.vmap(single)(pred)

@@ -1,0 +1,262 @@
+"""Pallas TPU kernel for the pairwise skew-IoU matrix.
+
+The NMS hot path builds a (K, K) exact rotated-IoU matrix (SURVEY.md §2:
+the reference uses an RRPN-lineage CUDA kernel here). This kernel computes
+the same candidate-point formulation as ``ops.skew_iou`` but tiled into
+VMEM: each grid step loads a (5, BN) column-block of boxes A and a (5, BM)
+block of boxes B (structure-of-arrays layout so the lane dimension is the
+box index, which tiles to 128), and produces a (BN, BM) IoU tile without
+touching HBM for any intermediate.
+
+Differences from the jnp path, forced by what Mosaic lowers well:
+  * convex ordering is a rank-sort — 24x24 pairwise angle comparisons and a
+    one-hot contraction gather — instead of ``argsort`` (no sort lowering
+    in Mosaic, and rank-sort is branch-free VPU work anyway);
+  * candidates are stacked on a leading (untiled) axis of shape 24, so every
+    op is elementwise over the (BN, BM) tile.
+
+``skew_iou_matrix_pallas`` pads inputs to block multiples with zero boxes;
+zero-area padding yields IoU 0 by the same min-area clamp as the jnp path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-8
+_TOL = 1e-6
+_NCAND = 24
+
+
+def _corners(cx, cy, w, h, th):
+    """Corner coordinate lists (len 4) for a structure-of-arrays box tile."""
+    cos, sin = jnp.cos(th), jnp.sin(th)
+    xs, ys = [], []
+    for sx, sy in ((-1, -1), (1, -1), (1, 1), (-1, 1)):
+        dx = sx * w * 0.5
+        dy = sy * h * 0.5
+        xs.append(cx + dx * cos - dy * sin)
+        ys.append(cy + dx * sin + dy * cos)
+    return xs, ys
+
+
+def _candidates(ax, ay, bx, by):
+    """All 24 intersection-polygon vertex candidates for a tile pair.
+
+    ax/ay: lists of 4 corner arrays shaped (BN, 1); bx/by: (1, BM).
+    Returns (px, py, valid) stacked on a leading 24-axis.
+    """
+    px, py, valid = [], [], []
+
+    # 16 edge-pair intersections
+    for i in range(4):
+        p1x, p1y = ax[i], ay[i]
+        d1x = ax[(i + 1) % 4] - p1x
+        d1y = ay[(i + 1) % 4] - p1y
+        for j in range(4):
+            q1x, q1y = bx[j], by[j]
+            d2x = bx[(j + 1) % 4] - q1x
+            d2y = by[(j + 1) % 4] - q1y
+            denom = d1x * d2y - d1y * d2x
+            ok = jnp.abs(denom) > _EPS
+            sd = jnp.where(ok, denom, 1.0)
+            rx, ry = q1x - p1x, q1y - p1y
+            t = (rx * d2y - ry * d2x) / sd
+            u = (rx * d1y - ry * d1x) / sd
+            v = ok & (t >= -_TOL) & (t <= 1 + _TOL) \
+                   & (u >= -_TOL) & (u <= 1 + _TOL)
+            px.append(jnp.where(v, p1x + t * d1x, 0.0))
+            py.append(jnp.where(v, p1y + t * d1y, 0.0))
+            valid.append(v)
+
+    # vertices of A inside B, and of B inside A
+    def _inside(qx, qy, cx_, cy_):
+        """Is point (qx, qy) inside the CCW quad given by corner lists?"""
+        res = None
+        for j in range(4):
+            ex = cx_[(j + 1) % 4] - cx_[j]
+            ey = cy_[(j + 1) % 4] - cy_[j]
+            crs = ex * (qy - cy_[j]) - ey * (qx - cx_[j])
+            tol = _TOL * jnp.sqrt(ex * ex + ey * ey + _EPS)
+            ok = crs >= -tol
+            res = ok if res is None else (res & ok)
+        return res
+
+    for i in range(4):
+        v = _inside(ax[i], ay[i], bx, by)
+        px.append(jnp.where(v, ax[i] + 0.0 * bx[0], 0.0))
+        py.append(jnp.where(v, ay[i] + 0.0 * by[0], 0.0))
+        valid.append(v)
+    for j in range(4):
+        v = _inside(bx[j], by[j], ax, ay)
+        px.append(jnp.where(v, bx[j] + 0.0 * ax[0], 0.0))
+        py.append(jnp.where(v, by[j] + 0.0 * ay[0], 0.0))
+        valid.append(v)
+
+    return (jnp.stack(px, 0), jnp.stack(py, 0),
+            jnp.stack(valid, 0))
+
+
+def _diamond_angle(y, x):
+    """Branch-free monotonic surrogate for atan2 (range [0, 4)).
+
+    Mosaic has no atan2 lowering; angular ORDER is all the rank-sort needs,
+    and the diamond angle (piecewise rational on L1-normalised coords) has
+    exactly atan2's ordering around the circle.
+    """
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    denom = ax + ay
+    safe = jnp.where(denom > _EPS, denom, 1.0)
+    t = y / safe
+    # quadrant offsets: q1 -> t, q2 -> 2 - t ... mapped via sign tests
+    pos_y = jnp.where(x >= 0, t, 2.0 - t)            # y >= 0: [0, 2)
+    neg_y = jnp.where(x < 0, 2.0 - t, 4.0 + t)       # y <  0: [2, 4)
+    ang = jnp.where(y >= 0, pos_y, neg_y)
+    return jnp.where(denom > _EPS, ang, 0.0)
+
+
+def _area_from_candidates(px, py, valid):
+    """Masked convex-polygon area from unordered candidates.
+
+    px/py/valid: (24, ...) stacked candidates. Rank-sorts by angle around
+    the valid-centroid (branch-free: pairwise comparisons + one-hot
+    gather), then masked shoelace with modular wrap.
+    """
+    maskf = valid.astype(px.dtype)
+    n_valid = jnp.sum(maskf, axis=0)
+    inv_n = 1.0 / jnp.maximum(n_valid, 1.0)
+    cx = jnp.sum(px * maskf, axis=0) * inv_n
+    cy = jnp.sum(py * maskf, axis=0) * inv_n
+    rx = px - cx
+    ry = py - cy
+    ang = _diamond_angle(ry, rx)
+    key = jnp.where(valid, ang, 1e4)
+
+    # rank[i] = #{j : key[j] < key[i], ties broken by index}
+    # (index tensors via iota — Pallas kernels may not capture constants)
+    ki = key[:, None]          # (24, 1, ...)
+    kj = key[None, :]          # (1, 24, ...)
+    pair_shape = (_NCAND, _NCAND) + (1,) * (key.ndim - 1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, pair_shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, pair_shape, 1)
+    less = (kj < ki)
+    tie = (kj == ki) & (jj < ii)
+    rank = jnp.sum((less | tie).astype(px.dtype), axis=1)   # (24, ...)
+
+    # sorted[r] = sum_i onehot(rank[i] == r) * val[i]
+    r_col = jax.lax.broadcasted_iota(
+        jnp.int32, (_NCAND, 1) + (1,) * (key.ndim - 1), 0).astype(px.dtype)
+    onehot = (rank[None] == r_col).astype(px.dtype)  # (24_rank, 24_cand, ...)
+    srx = jnp.sum(onehot * rx[None, :], axis=1)
+    sry = jnp.sum(onehot * ry[None, :], axis=1)
+    smf = jnp.sum(onehot * maskf[None, :], axis=1)
+
+    # shoelace with wrap at n_valid: next index = (r + 1) mod n_valid
+    r_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (_NCAND,) + (1,) * (key.ndim - 1), 0).astype(px.dtype)
+    nxt_is_zero = (r_ids + 1.0) >= n_valid[None]
+    # gather "next" via roll (r+1) and replace the wrap slot with slot 0
+    nrx = jnp.where(nxt_is_zero, srx[0][None], jnp.roll(srx, -1, axis=0))
+    nry = jnp.where(nxt_is_zero, sry[0][None], jnp.roll(sry, -1, axis=0))
+    crs = srx * nry - sry * nrx
+    area = 0.5 * jnp.abs(jnp.sum(crs * smf, axis=0))
+    return jnp.where(n_valid >= 3.0, area, 0.0)
+
+
+def _iou_tile_kernel(a_ref, b_ref, out_ref):
+    """One (BN, BM) IoU tile.
+
+    a_ref: (BN, 8) array-of-structures block (fields cx,cy,w,h,th,pad) —
+    AoS so its lane dim (8) equals the full array dim, satisfying Mosaic's
+    block-shape rule for small BN. b_ref: (8, BM) structure-of-arrays so
+    the box index rides the 128-lane dimension.
+    """
+    acx = a_ref[:, 0][:, None]
+    acy = a_ref[:, 1][:, None]
+    aw = a_ref[:, 2][:, None]
+    ah = a_ref[:, 3][:, None]
+    ath = a_ref[:, 4][:, None]
+    bcx = b_ref[0, :][None, :]
+    bcy = b_ref[1, :][None, :]
+    bw = b_ref[2, :][None, :]
+    bh = b_ref[3, :][None, :]
+    bth = b_ref[4, :][None, :]
+
+    ax, ay = _corners(acx, acy, aw, ah, ath)
+    bx, by = _corners(bcx, bcy, bw, bh, bth)
+    px, py, valid = _candidates(ax, ay, bx, by)
+    inter = _area_from_candidates(px, py, valid)
+
+    area_a = aw * ah
+    area_b = bw * bh
+    inter = jnp.minimum(inter, jnp.minimum(area_a, area_b))
+    out_ref[:, :] = inter / (area_a + area_b - inter + _EPS)
+
+
+def _prepare_soa(boxes: jnp.ndarray, pad_to: int) -> jnp.ndarray:
+    """(N, 5) -> (8, N_pad) structure-of-arrays, zero-padded."""
+    n = boxes.shape[0]
+    n_pad = -(-n // pad_to) * pad_to
+    soa = jnp.zeros((8, n_pad), jnp.float32)
+    return jax.lax.dynamic_update_slice(
+        soa, boxes.astype(jnp.float32).T, (0, 0))
+
+
+def _prepare_aos(boxes: jnp.ndarray, pad_to: int) -> jnp.ndarray:
+    """(N, 5) -> (N_pad, 8) array-of-structures, zero-padded."""
+    n = boxes.shape[0]
+    n_pad = -(-n // pad_to) * pad_to
+    aos = jnp.zeros((n_pad, 8), jnp.float32)
+    return jax.lax.dynamic_update_slice(
+        aos, boxes.astype(jnp.float32), (0, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_m",
+                                             "interpret"))
+def skew_iou_matrix_pallas(a: jnp.ndarray, b: jnp.ndarray,
+                           block_n: int = 8, block_m: int = 128,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Exact pairwise skew-IoU matrix (N, 5) x (M, 5) -> (N, M) on TPU.
+
+    Drop-in for ``ops.skew_iou.skew_iou_matrix`` (pass via the
+    ``iou_matrix_fn`` hook of ``non_max_suppression``). ``interpret=True``
+    runs the same kernel through the Pallas interpreter for CPU tests.
+    """
+    n, m = a.shape[0], b.shape[0]
+    a_aos = _prepare_aos(a, block_n)
+    b_soa = _prepare_soa(b, block_m)
+    n_pad, m_pad = a_aos.shape[0], b_soa.shape[1]
+
+    grid = (n_pad // block_n, m_pad // block_m)
+    out = pl.pallas_call(
+        _iou_tile_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_n, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_m), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_n, block_m), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(a_aos, b_soa)
+    return out[:n, :m]
+
+
+def skew_iou_matrix_auto(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pallas kernel on TPU, pure-jnp fallback elsewhere."""
+    from .skew_iou import skew_iou_matrix
+
+    platform = jax.default_backend()
+    if platform == "tpu":
+        return skew_iou_matrix_pallas(a, b)
+    return skew_iou_matrix(a, b)

@@ -1,0 +1,135 @@
+"""Fixed-shape rotated NMS vs the O(n^2) numpy greedy oracle (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rotate_yolov3_tpu.ops.rotated_nms import (greedy_suppress,
+                                               non_max_suppression)
+from rotate_yolov3_tpu.ops.skew_iou import skew_iou_matrix
+
+from oracles import greedy_rotated_nms_np, skew_iou_np
+
+
+def _random_boxes(rng, n, spread=100.0):
+    return np.stack([
+        rng.uniform(0, spread, n), rng.uniform(0, spread, n),
+        rng.uniform(5, 30, n), rng.uniform(5, 30, n),
+        rng.uniform(-np.pi / 2, np.pi / 2, n)], axis=1).astype(np.float32)
+
+
+def test_greedy_suppress_matches_oracle():
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        n = 40
+        boxes = _random_boxes(rng, n, spread=60.0)
+        scores = rng.uniform(0.1, 1.0, n).astype(np.float32)
+        order = np.argsort(-scores, kind="stable")
+        sboxes, sscores = boxes[order], scores[order]
+
+        iou = skew_iou_matrix(jnp.asarray(sboxes), jnp.asarray(sboxes))
+        keep = np.asarray(greedy_suppress(
+            iou, jnp.ones(n, bool), iou_thr=0.3))
+        kept_sorted = set(np.nonzero(keep)[0])
+
+        oracle_keep = greedy_rotated_nms_np(sboxes, sscores, 0.3)
+        assert kept_sorted == set(oracle_keep.tolist()), f"trial {trial}"
+
+
+def _make_pred(boxes, scores, cls_onehot):
+    """Assemble (N, 6+nc) decoded predictions with obj=score, cls=onehot."""
+    n, nc = cls_onehot.shape
+    return np.concatenate(
+        [boxes, scores[:, None], cls_onehot], axis=1).astype(np.float32)
+
+
+def test_nms_end_to_end_single_class():
+    rng = np.random.default_rng(1)
+    n = 64
+    boxes = _random_boxes(rng, n, spread=80.0)
+    scores = rng.uniform(0.0, 1.0, n).astype(np.float32)
+    pred = _make_pred(boxes, scores, np.ones((n, 1), np.float32))
+    # max_det >= candidate count so the oracle comparison is exact
+    dets, mask = jax.jit(
+        lambda p: non_max_suppression(p, conf_thres=0.25, nms_thres=0.3,
+                                      max_det=64))(pred[None])
+    dets, mask = np.asarray(dets[0]), np.asarray(mask[0])
+    assert dets.shape == (64, 7) and mask.shape == (64,)
+
+    # oracle: same conf filter + greedy on survivors
+    sel = scores >= 0.25
+    okeep = greedy_rotated_nms_np(boxes[sel], scores[sel], 0.3)
+    o_boxes = boxes[sel][okeep]
+    o_scores = scores[sel][okeep]
+    got = dets[mask]
+    assert len(got) == len(o_boxes)
+    # both sorted by score descending
+    np.testing.assert_allclose(got[:, 5], np.sort(o_scores)[::-1], atol=1e-5)
+    order = np.argsort(-o_scores, kind="stable")
+    np.testing.assert_allclose(got[:, :5], o_boxes[order], atol=1e-3)
+
+
+def test_nms_scores_sorted_and_padding_zero():
+    rng = np.random.default_rng(2)
+    n = 30
+    pred = _make_pred(_random_boxes(rng, n), rng.uniform(0, 1, n),
+                      np.ones((n, 1), np.float32))
+    dets, mask = non_max_suppression(jnp.asarray(pred[None]),
+                                     conf_thres=0.5, nms_thres=0.4,
+                                     max_det=16)
+    dets, mask = np.asarray(dets[0]), np.asarray(mask[0])
+    s = dets[mask][:, 5]
+    assert np.all(np.diff(s) <= 1e-6)
+    np.testing.assert_array_equal(dets[~mask], 0.0)
+
+
+def test_nms_multiclass_no_cross_class_suppression():
+    # two identical boxes, different classes, both must survive
+    box = np.array([50, 50, 20, 10, 0.3], np.float32)
+    boxes = np.stack([box, box])
+    cls = np.zeros((2, 3), np.float32)
+    cls[0, 0] = 1.0
+    cls[1, 2] = 1.0
+    pred = _make_pred(boxes, np.array([0.9, 0.8], np.float32), cls)
+    dets, mask = non_max_suppression(jnp.asarray(pred[None]),
+                                     conf_thres=0.1, nms_thres=0.3,
+                                     max_det=8)
+    dets, mask = np.asarray(dets[0]), np.asarray(mask[0])
+    assert mask.sum() == 2
+    assert set(dets[mask][:, 6].astype(int)) == {0, 2}
+    # same class -> one suppressed
+    cls_same = np.zeros((2, 3), np.float32)
+    cls_same[:, 1] = 1.0
+    pred2 = _make_pred(boxes, np.array([0.9, 0.8], np.float32), cls_same)
+    _, mask2 = non_max_suppression(jnp.asarray(pred2[None]),
+                                   conf_thres=0.1, nms_thres=0.3, max_det=8)
+    assert np.asarray(mask2[0]).sum() == 1
+
+
+def test_nms_conf_threshold_empties():
+    rng = np.random.default_rng(3)
+    n = 10
+    pred = _make_pred(_random_boxes(rng, n),
+                      np.full(n, 0.01, np.float32),
+                      np.ones((n, 1), np.float32))
+    dets, mask = non_max_suppression(jnp.asarray(pred[None]),
+                                     conf_thres=0.5, nms_thres=0.4,
+                                     max_det=8)
+    assert np.asarray(mask).sum() == 0
+    np.testing.assert_array_equal(np.asarray(dets), 0.0)
+
+
+def test_nms_batch_independence():
+    rng = np.random.default_rng(4)
+    n = 20
+    p1 = _make_pred(_random_boxes(rng, n), rng.uniform(0, 1, n),
+                    np.ones((n, 1), np.float32))
+    p2 = _make_pred(_random_boxes(rng, n), rng.uniform(0, 1, n),
+                    np.ones((n, 1), np.float32))
+    batch = jnp.asarray(np.stack([p1, p2]))
+    dets_b, mask_b = non_max_suppression(batch, 0.2, 0.4, max_det=16)
+    dets_1, mask_1 = non_max_suppression(jnp.asarray(p1[None]), 0.2, 0.4,
+                                         max_det=16)
+    np.testing.assert_allclose(np.asarray(dets_b[0]), np.asarray(dets_1[0]),
+                               atol=1e-6)

@@ -21,6 +21,8 @@ import numpy as np
 
 
 def detect(opt):
+    from rotate_yolov3_tpu.utils.device import select_device
+    select_device(getattr(opt, "device", ""))
     import jax.numpy as jnp
 
     from rotate_yolov3_tpu.config.parse import load_classes, parse_data_cfg
@@ -98,6 +100,8 @@ def make_parser():
                    help="skip writing annotated images")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 conv stack (faster on TPU)")
+    p.add_argument("--device", type=str, default="",
+                   help="jax platform override (cpu/tpu)")
     return p
 
 

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""DOTA pipeline CLI: tile splitting, batched per-tile detection,
+cross-tile merge, Task-1 evaluation.
+
+Covers the reference's DOTA_devkit workflow (SURVEY.md §3.5; BASELINE
+config #3 'batched DOTA inference: tile cropping + per-tile detect +
+cross-tile rotated NMS merge') as subcommands:
+
+  python dota.py split  --images DIR --labels DIR --out DIR [--subsize 1024 --gap 200]
+  python dota.py detect --cfg CFG --weights W --tiles DIR --out DIR [--batch-size 8]
+  python dota.py merge  --dets DIR --out DIR --names datacfg/dota.names
+  python dota.py eval   --dets DIR --gt DIR --names datacfg/dota.names
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def cmd_split(opt):
+    from rotate_yolov3_tpu.data.dota.img_split import split_dataset
+
+    written = split_dataset(opt.images, opt.labels, opt.out,
+                            subsize=opt.subsize, gap=opt.gap,
+                            keep_frac=opt.keep_frac)
+    print(f"wrote {len(written)} tiles under {opt.out}")
+
+
+def cmd_detect(opt):
+    from rotate_yolov3_tpu.utils.device import select_device
+    select_device(getattr(opt, "device", ""))
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rotate_yolov3_tpu.data.loaders import LoadImages, batched
+    from rotate_yolov3_tpu.detector import Detector, detections_to_numpy
+    from rotate_yolov3_tpu.ops.boxes import scale_coords_rotated
+
+    det = Detector(opt.cfg, weights=opt.weights or None,
+                   img_size=opt.img_size, conf_thres=opt.conf_thres,
+                   nms_thres=opt.nms_thres, max_det=opt.max_det,
+                   compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32)
+    os.makedirs(opt.out, exist_ok=True)
+    loader = LoadImages(opt.tiles, img_size=det.img_size)
+    n = 0
+    for items, n_real in batched(iter(loader), opt.batch_size):
+        imgs = np.stack([it[1] for it in items])
+        dets, mask = det(imgs)
+        per_image = detections_to_numpy(dets, mask)
+        for (path, _, _, ratio, pad), d in zip(items[:n_real],
+                                               per_image[:n_real]):
+            if len(d):
+                d = np.asarray(scale_coords_rotated(jnp.asarray(d), ratio,
+                                                    pad))
+            stem = os.path.splitext(os.path.basename(path))[0]
+            np.savetxt(os.path.join(opt.out, stem + ".txt"), d, fmt="%.4f")
+            n += 1
+    print(f"detected over {n} tiles -> {opt.out}")
+
+
+def cmd_merge(opt):
+    import numpy as np
+
+    from rotate_yolov3_tpu.config.parse import load_classes
+    from rotate_yolov3_tpu.data.dota.result_merge import (
+        merge_tile_detections, write_task1_results)
+
+    names = load_classes(opt.names)
+    tile_dets = {}
+    for f in sorted(os.listdir(opt.dets)):
+        if not f.endswith(".txt"):
+            continue
+        arr = np.loadtxt(os.path.join(opt.dets, f), ndmin=2)
+        if arr.size == 0:
+            arr = np.zeros((0, 7), np.float32)
+        tile_dets[os.path.splitext(f)[0]] = arr.astype(np.float32)
+    merged = merge_tile_detections(tile_dets, nms_thres=opt.nms_thres)
+    write_task1_results(merged, names, opt.out)
+    total = sum(len(v) for v in merged.values())
+    print(f"merged {len(tile_dets)} tiles -> {len(merged)} images, "
+          f"{total} detections -> {opt.out}")
+
+
+def cmd_eval(opt):
+    from rotate_yolov3_tpu.config.parse import load_classes
+    from rotate_yolov3_tpu.data.dota.evaluation import evaluate_task1
+
+    names = load_classes(opt.names)
+    result = evaluate_task1(opt.dets, opt.gt, names, iou_thr=opt.iou_thres,
+                            method=opt.ap_method)
+    for row in result["per_class"]:
+        print(f"{row['name']:>20} AP={row['ap']:.4f} (n_gt={row['n_gt']})")
+    print(f"{'mAP':>20} {result['map']:.4f}")
+    if opt.json:
+        with open(opt.json, "w") as f:
+            json.dump(result, f, indent=1)
+
+
+def make_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("split")
+    ps.add_argument("--images", required=True)
+    ps.add_argument("--labels", required=True)
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--subsize", type=int, default=1024)
+    ps.add_argument("--gap", type=int, default=200)
+    ps.add_argument("--keep-frac", type=float, default=0.7)
+    ps.set_defaults(fn=cmd_split)
+
+    pd = sub.add_parser("detect")
+    pd.add_argument("--cfg", required=True)
+    pd.add_argument("--weights", default="")
+    pd.add_argument("--tiles", required=True)
+    pd.add_argument("--out", required=True)
+    pd.add_argument("--img-size", type=int, default=None)
+    pd.add_argument("--batch-size", type=int, default=8)
+    pd.add_argument("--conf-thres", type=float, default=0.1)
+    pd.add_argument("--nms-thres", type=float, default=0.4)
+    pd.add_argument("--max-det", type=int, default=512)
+    pd.add_argument("--bf16", action="store_true")
+    pd.add_argument("--device", type=str, default="")
+    pd.set_defaults(fn=cmd_detect)
+
+    pm = sub.add_parser("merge")
+    pm.add_argument("--dets", required=True)
+    pm.add_argument("--out", required=True)
+    pm.add_argument("--names", required=True)
+    pm.add_argument("--nms-thres", type=float, default=0.3)
+    pm.set_defaults(fn=cmd_merge)
+
+    pe = sub.add_parser("eval")
+    pe.add_argument("--dets", required=True)
+    pe.add_argument("--gt", required=True)
+    pe.add_argument("--names", required=True)
+    pe.add_argument("--iou-thres", type=float, default=0.5)
+    pe.add_argument("--ap-method", choices=["11point", "continuous"],
+                    default="11point")
+    pe.add_argument("--json", default="")
+    pe.set_defaults(fn=cmd_eval)
+    return p
+
+
+if __name__ == "__main__":
+    opt = make_parser().parse_args()
+    opt.fn(opt)

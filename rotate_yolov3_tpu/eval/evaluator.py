@@ -1,0 +1,62 @@
+"""Dataset evaluation loop: model -> rotated NMS -> mAP.
+
+The reference's ``test.py::test()`` contract (SURVEY.md §3.3): run the model
+over a val set, rotated NMS, match to GT by skew-IoU >= 0.5, report
+per-class P/R/AP and mAP. Callable standalone (test.py CLI) and from
+train.py per epoch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets import LoadImagesAndLabels
+from ..detector import detections_to_numpy
+from .metrics import match_image, summarize
+
+
+def evaluate_dataset(detector, list_path: str, batch_size: int = 8,
+                     iou_thr: float = 0.5, conf_thres: float = None,
+                     max_images: Optional[int] = None,
+                     names: Sequence[str] = (),
+                     method: str = "continuous") -> Dict[str, object]:
+    """Evaluate a Detector over an image-list dataset.
+
+    Ground truth is loaded through the same ``LoadImagesAndLabels`` pipeline
+    (augment off) so letterboxing matches inference exactly.
+    """
+    img_size = detector.img_size
+    ds = LoadImagesAndLabels(list_path, img_size=img_size,
+                             batch_size=batch_size, augment=False,
+                             max_gt=256, drop_last=False, prefetch=2)
+    stats = []
+    n_done = 0
+    for imgs, tgts, valid in ds:
+        dets, mask = detector(jnp.asarray(imgs))
+        per_image = detections_to_numpy(dets, mask)
+        for b in range(len(imgs)):
+            if max_images is not None and n_done >= max_images:
+                break
+            n_done += 1
+            gt = tgts[b][valid[b]]
+            gt_boxes = gt[:, 1:6].copy()
+            gt_boxes[:, :4] *= img_size         # normalized -> pixels
+            gt_cls = gt[:, 0].astype(int)
+            d = per_image[b]
+            tp = match_image(d, gt_boxes, gt_cls, iou_thr)
+            stats.append((tp, d[:, 5], d[:, 6].astype(int), gt_cls))
+        if max_images is not None and n_done >= max_images:
+            break
+    return summarize(stats, names=names, method=method)
+
+
+def print_eval_table(result: Dict[str, object]) -> None:
+    print(f"{'class':>20} {'P':>8} {'R':>8} {'AP':>8}")
+    for row in result["per_class"]:
+        print(f"{row['name']:>20} {row['p']:8.4f} {row['r']:8.4f} "
+              f"{row['ap']:8.4f}")
+    print(f"{'all':>20} {result['mp']:8.4f} {result['mr']:8.4f} "
+          f"{result['map']:8.4f}")

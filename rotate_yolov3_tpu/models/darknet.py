@@ -288,11 +288,14 @@ def _apply_conv(layer: ConvSpec, p: Dict, s: Optional[Dict], x: jnp.ndarray,
             # batch statistics over N, H, W — in f32 for stability
             y32 = y.astype(jnp.float32)
             mean = jnp.mean(y32, axis=(0, 1, 2))
-            var = jnp.mean(jnp.square(y32), axis=(0, 1, 2)) - jnp.square(mean)
+            msq = jnp.mean(jnp.square(y32), axis=(0, 1, 2))
             if axis_name is not None:
-                # sync-BN over the data-parallel axis
+                # sync-BN: average the raw moments across the axis FIRST,
+                # then form the variance — pmean of per-device variances
+                # would miss the variance of the per-device means
                 mean = jax.lax.pmean(mean, axis_name)
-                var = jax.lax.pmean(var, axis_name)
+                msq = jax.lax.pmean(msq, axis_name)
+            var = msq - jnp.square(mean)
             new_state = {
                 "bn_mean": ((1 - _BN_UPDATE) * s["bn_mean"]
                             + _BN_UPDATE * mean),

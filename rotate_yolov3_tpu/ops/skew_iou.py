@@ -159,3 +159,45 @@ def skew_iou_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 # vmapped single-pair entry point, handy for tests / scalar use
 skew_iou_pair = jax.jit(skew_iou)
+
+
+# ---------------------------------------------------------------------------
+# General convex-quad IoU — the candidate-point intersection above makes no
+# rectangle assumption, so it doubles as the exact polygon IoU the reference
+# gets from its C++/SWIG polyiou library (SURVEY.md §2 "polyiou (devkit)").
+# DOTA ground truth is arbitrary quadrilaterals; these entry points give the
+# evaluation/merge path exact quad-IoU without a separate native lib.
+# ---------------------------------------------------------------------------
+
+def quad_area(quads: jnp.ndarray) -> jnp.ndarray:
+    """Shoelace area of (..., 4, 2) quads (vertices in order)."""
+    x, y = quads[..., 0], quads[..., 1]
+    xn = jnp.roll(x, -1, axis=-1)
+    yn = jnp.roll(y, -1, axis=-1)
+    return 0.5 * jnp.abs(jnp.sum(x * yn - xn * y, axis=-1))
+
+
+def _ccw_quads(quads: jnp.ndarray) -> jnp.ndarray:
+    """Reorder each quad CCW (the inside-tests assume CCW winding)."""
+    x, y = quads[..., 0], quads[..., 1]
+    signed = 0.5 * jnp.sum(x * jnp.roll(y, -1, axis=-1)
+                           - jnp.roll(x, -1, axis=-1) * y, axis=-1)
+    flipped = jnp.flip(quads, axis=-2)
+    return jnp.where((signed >= 0)[..., None, None], quads, flipped)
+
+
+def quad_iou(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise exact IoU of (..., 4, 2) convex quads (broadcasting)."""
+    q1 = _ccw_quads(jnp.asarray(q1, jnp.float32))
+    q2 = _ccw_quads(jnp.asarray(q2, jnp.float32))
+    q1, q2 = jnp.broadcast_arrays(q1, q2)
+    inter = _pair_intersection_area(q1, q2)
+    a1 = quad_area(q1)
+    a2 = quad_area(q2)
+    inter = jnp.minimum(inter, jnp.minimum(a1, a2))
+    return inter / (a1 + a2 - inter + _EPS)
+
+
+def quad_iou_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise exact quad IoU: (N, 4, 2) x (M, 4, 2) -> (N, M)."""
+    return quad_iou(a[:, None], b[None, :])

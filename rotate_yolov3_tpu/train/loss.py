@@ -1,0 +1,137 @@
+"""Multi-part rotated-detection loss.
+
+Rework of the reference's ``utils/utils.py::compute_loss`` (SURVEY.md §2
+"loss"): obj BCE with ignore-region masking, cls BCE, box regression on the
+cell/anchor parameterisation, smooth-L1 on the angle offset, plus the
+**skew-IoU regression term** (1 - exact skewIoU between the decoded
+positive prediction and its GT rotated box) that BASELINE.json's north_star
+names — differentiable end-to-end through ``ops.skew_iou``.
+
+All terms are computed on fixed-shape gathered slots (MAX_GT per image) and
+dense masked grids — no ragged indices, one XLA program, vmappable and
+shard_map-compatible (psum-friendly scalar outputs).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config.hyp import Hyp
+from ..models.darknet import YoloSpec
+from ..models.yolo_head import ANGLE_RANGE, head_anchors, reshape_head
+from ..ops.skew_iou import skew_iou
+from .assign import HeadTargets, build_targets
+
+
+def _bce_logits(logits, labels, pos_weight=1.0):
+    """Numerically-stable BCE-with-logits."""
+    log_p = jax.nn.log_sigmoid(logits)
+    log_not_p = jax.nn.log_sigmoid(-logits)
+    return -(pos_weight * labels * log_p + (1.0 - labels) * log_not_p)
+
+
+def _smooth_l1(x, beta: float = 1.0 / 9.0):
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
+
+
+def _masked_mean(x, mask):
+    return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def compute_loss_head(raw: jnp.ndarray, tgt: HeadTargets, spec: YoloSpec,
+                      hyp: Hyp) -> Dict[str, jnp.ndarray]:
+    """Loss terms for one head. ``raw`` is the (B, H, W, na*no) head map."""
+    p = reshape_head(raw, spec)                  # (B, H, W, na, no)
+    b, h, w, na, no = p.shape
+    flat = p.reshape(b, h * w * na, no)
+
+    # ---- gather positive-slot predictions (B, G, no) ----------------------
+    safe_idx = jnp.maximum(tgt.flat_idx, 0)
+    pos = jnp.take_along_axis(flat, safe_idx[..., None], axis=1)
+    m = tgt.assigned.astype(p.dtype)             # (B, G)
+    n_pos = jnp.maximum(jnp.sum(m), 1.0)
+
+    # xy: sigmoid-offset vs target offset
+    pxy = jax.nn.sigmoid(pos[..., 0:2])
+    lxy = jnp.sum(_smooth_l1(pxy - tgt.txy) * m[..., None]) / n_pos
+    # wh: raw log-ratio regression
+    lwh = jnp.sum(_smooth_l1(pos[..., 2:4] - tgt.twh) * m[..., None]) / n_pos
+    # angle: bounded tanh offset vs target delta-theta
+    pang = ANGLE_RANGE * jnp.tanh(pos[..., 4])
+    langle = jnp.sum(_smooth_l1(pang - tgt.tangle) * m) / n_pos
+
+    # skew-IoU regression on decoded positive boxes
+    anchors_wh, anchor_angles = head_anchors(spec)
+    awh = jnp.asarray(anchors_wh)
+    aang = jnp.asarray(anchor_angles)
+    a_idx = safe_idx % na                        # anchor of each slot
+    cell_flat = safe_idx // na
+    gi = (cell_flat % w).astype(p.dtype)
+    gj = (cell_flat // w).astype(p.dtype)
+    bx = (pxy[..., 0] + gi) * spec.stride
+    by = (pxy[..., 1] + gj) * spec.stride
+    bwh = awh[a_idx] * jnp.exp(jnp.clip(pos[..., 2:4], -8.0, 8.0))
+    bth = aang[a_idx] + pang
+    pbox = jnp.stack([bx, by, bwh[..., 0], bwh[..., 1], bth], axis=-1)
+    siou = skew_iou(pbox, tgt.tbox_abs)          # (B, G)
+    lsiou = jnp.sum((1.0 - siou) * m) / n_pos
+
+    # classification BCE on positive slots
+    if spec.num_classes > 1:
+        onehot = jax.nn.one_hot(tgt.tcls, spec.num_classes, dtype=p.dtype)
+        lcls = jnp.sum(
+            _bce_logits(pos[..., 6:], onehot, hyp.cls_pw) * m[..., None]
+        ) / n_pos
+    else:
+        # single-class: cls prob is trained to 1 on positives
+        lcls = jnp.sum(
+            _bce_logits(pos[..., 6], jnp.ones_like(m), hyp.cls_pw) * m
+        ) / n_pos
+
+    # Objectness BCE over the dense grid with ignore mask. Positives and
+    # negatives are averaged SEPARATELY: a head has O(10^3-10^5) cells and
+    # only a handful of positives, so a single grid-mean lets the optimizer
+    # drive every obj logit to 0 and still reach near-zero loss (observed:
+    # trained nets detected nothing). Per-group means keep the positive
+    # term O(1) regardless of grid size.
+    obj_logits = p[..., 5]
+    bce = _bce_logits(obj_logits, tgt.obj_target, hyp.obj_pw)
+    pos_mask = tgt.obj_target * tgt.obj_mask
+    neg_mask = (1.0 - tgt.obj_target) * tgt.obj_mask
+    lobj = _masked_mean(bce, neg_mask) + _masked_mean(bce, pos_mask)
+
+    return {"xy": lxy, "wh": lwh, "angle": langle, "siou": lsiou,
+            "cls": lcls, "obj": lobj}
+
+
+def compute_loss(head_raws: Sequence[jnp.ndarray], targets: jnp.ndarray,
+                 valid: jnp.ndarray, yolo_specs: Sequence[YoloSpec],
+                 img_size: int, hyp: Hyp = None
+                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Total training loss over all heads.
+
+    Args:
+      head_raws: raw head maps from ``apply_network(..., train=True)``.
+      targets: (B, MAX_GT, 6) padded GT (cls, cx, cy, w, h, theta),
+        xywh normalized; valid: (B, MAX_GT) row mask.
+    Returns (total_loss, components) — components are pre-gain means,
+    totals are gain-weighted (reference's per-term hyp gains).
+    """
+    hyp = hyp or Hyp()
+    tgts = build_targets(targets, valid, yolo_specs, img_size, hyp.iou_t)
+    comp = {k: 0.0 for k in ("xy", "wh", "angle", "siou", "cls", "obj")}
+    for raw, tgt, spec in zip(head_raws, tgts, yolo_specs):
+        hloss = compute_loss_head(raw, tgt, spec, hyp)
+        for k, v in hloss.items():
+            comp[k] = comp[k] + v
+    nh = float(len(yolo_specs))
+    comp = {k: v / nh for k, v in comp.items()}
+    total = (hyp.xy * comp["xy"] + hyp.wh * comp["wh"]
+             + hyp.angle * comp["angle"] + hyp.siou * comp["siou"]
+             + hyp.cls * comp["cls"] + hyp.obj * comp["obj"])
+    comp["total"] = total
+    return total, comp

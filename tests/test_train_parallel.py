@@ -1,0 +1,155 @@
+"""Trainer + data-parallel tests on the 8-virtual-CPU-device mesh
+(SURVEY.md §4 'distributed without a cluster')."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rotate_yolov3_tpu.config.hyp import Hyp
+from rotate_yolov3_tpu.config.parse import parse_model_cfg
+from rotate_yolov3_tpu.models import build_network, init_params
+from rotate_yolov3_tpu.parallel.mesh import (
+    DATA_AXIS, make_mesh, make_parallel_train_step, replicate, shard_batch)
+from rotate_yolov3_tpu.train.schedule import cosine_schedule, darknet_schedule
+from rotate_yolov3_tpu.train.trainer import (
+    TrainState, init_train_state, load_checkpoint, make_optimizer,
+    make_train_step, save_checkpoint)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TINY = os.path.join(ROOT, "cfg/yolov3-rotate-tiny.cfg")
+IMG = 64
+
+
+def _setup(img_size=IMG):
+    spec = build_network(parse_model_cfg(TINY), img_size=img_size)
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    opt = make_optimizer(darknet_schedule(1e-3, burn_in=10))
+    ts = init_train_state(spec, params, state, opt)
+    return spec, opt, ts
+
+
+def _batch(b=2, g=8, seed=0):
+    rng = np.random.default_rng(seed)
+    imgs = rng.integers(0, 255, (b, IMG, IMG, 3)).astype(np.uint8)
+    tgts = np.zeros((b, g, 6), np.float32)
+    valid = np.zeros((b, g), bool)
+    for i in range(b):
+        tgts[i, 0] = [0, 0.4, 0.5, 0.3, 0.12, 0.3]
+        valid[i, 0] = True
+    return jnp.asarray(imgs), jnp.asarray(tgts), jnp.asarray(valid)
+
+
+def test_schedules():
+    s = darknet_schedule(0.01, burn_in=100, steps=(1000, 2000),
+                         scales=(0.1, 0.1))
+    assert float(s(0)) < 1e-8 * 0.01 + 1e-12 or float(s(0)) < 0.01
+    assert float(s(99)) == pytest.approx(0.01, rel=1e-3)
+    assert float(s(500)) == pytest.approx(0.01, rel=1e-5)
+    assert float(s(1500)) == pytest.approx(0.001, rel=1e-4)
+    assert float(s(2500)) == pytest.approx(0.0001, rel=1e-4)
+    c = cosine_schedule(0.01, total_steps=1000, burn_in=10)
+    assert float(c(1000)) == pytest.approx(0.01 * 0.05, rel=1e-3)
+
+
+def test_single_device_train_step_descends():
+    spec, opt, ts = _setup()
+    step = jax.jit(make_train_step(spec, opt))
+    imgs, tgts, valid = _batch()
+    losses = []
+    for _ in range(8):
+        ts, metrics = step(ts, imgs, tgts, valid)
+        losses.append(float(metrics["total"]))
+        assert np.isfinite(losses[-1])
+    assert int(ts.step) == 8
+    assert losses[-1] < losses[0]
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_weight_decay_mask_only_kernels():
+    """Decoupled weight decay must hit conv kernels but not biases/BN."""
+    spec, _, _ = _setup()
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    # constant LR (no burn-in) so one step moves params measurably
+    opt = make_optimizer(lambda step: 0.1, momentum=0.0, weight_decay=0.1)
+    ts = init_train_state(spec, params, state, opt)
+    # zero-gradient step isolates the decay term: feed loss-free inputs by
+    # differentiating a constant function via optax update on zero grads
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = opt.update(zero_grads, ts.opt_state, params)
+    import optax
+    new_params = optax.apply_updates(params, updates)
+    k0 = np.asarray(params["layer_000"]["kernel"])
+    k1 = np.asarray(new_params["layer_000"]["kernel"])
+    np.testing.assert_allclose(k1, k0 * (1 - 0.1 * 0.1), rtol=1e-5)
+    b0 = np.asarray(params["layer_000"]["bn_bias"])
+    b1 = np.asarray(new_params["layer_000"]["bn_bias"])
+    np.testing.assert_array_equal(b0, b1)   # biases not decayed
+
+
+def test_parallel_matches_single_device():
+    """DP over 8 virtual devices must match the single-device step on the
+    same global batch (gradient pmean == full-batch gradient)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    spec, opt, ts = _setup()
+    imgs, tgts, valid = _batch(b=8)
+
+    single = jax.jit(make_train_step(spec, opt))
+    ts_single, m_single = single(ts, imgs, tgts, valid)
+
+    mesh = make_mesh(8)
+    pstep = make_parallel_train_step(
+        make_train_step(spec, opt, axis_name=DATA_AXIS), mesh)
+    ts_rep = replicate(mesh, ts)
+    simgs, stgts, svalid = shard_batch(mesh, imgs, tgts, valid)
+    ts_par, m_par = pstep(ts_rep, simgs, stgts, svalid)
+
+    # loss means match; params match to fp32 tolerance
+    assert float(m_par["total"]) == pytest.approx(float(m_single["total"]),
+                                                  rel=2e-4)
+    k_s = np.asarray(ts_single.params["layer_000"]["kernel"])
+    k_p = np.asarray(ts_par.params["layer_000"]["kernel"])
+    np.testing.assert_allclose(k_s, k_p, rtol=2e-3, atol=2e-5)
+
+
+def test_parallel_multiple_steps_stay_replicated():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    spec, opt, ts = _setup()
+    mesh = make_mesh(8)
+    pstep = make_parallel_train_step(
+        make_train_step(spec, opt, axis_name=DATA_AXIS), mesh)
+    ts = replicate(mesh, ts)
+    for s in range(3):
+        imgs, tgts, valid = _batch(b=8, seed=s)
+        batch = shard_batch(mesh, imgs, tgts, valid)
+        ts, metrics = pstep(ts, *batch)
+        assert np.isfinite(float(metrics["total"]))
+    assert int(ts.step) == 3
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    spec, opt, ts = _setup()
+    step = jax.jit(make_train_step(spec, opt))
+    imgs, tgts, valid = _batch()
+    ts, _ = step(ts, imgs, tgts, valid)
+    save_checkpoint(str(tmp_path / "ckpt"), ts, step=1)
+    _, _, ts_fresh = _setup()
+    restored, at_step = load_checkpoint(str(tmp_path / "ckpt"), ts_fresh)
+    assert at_step == 1
+    import chex
+    chex.assert_trees_all_close(restored.params, ts.params)
+    chex.assert_trees_all_close(restored.state, ts.state)
+    assert int(restored.step) == 1
+    # training resumes from the restored state
+    ts2, m = step(restored, imgs, tgts, valid)
+    assert int(ts2.step) == 2 and np.isfinite(float(m["total"]))
+
+
+def test_checkpoint_missing_raises(tmp_path):
+    spec, opt, ts = _setup()
+    with pytest.raises(FileNotFoundError):
+        load_checkpoint(str(tmp_path / "nope"), ts)

@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Mirrors the reference train.py surface (SURVEY.md §2 "train CLI", §3.1):
+build model from cfg, load .weights (full or backbone-only), SGD with
+burn-in + step LR from the cfg [net] block, epoch loop with per-epoch eval,
+results.txt row per epoch, last/best checkpoints (orbax) and .weights
+export. ``--devices N`` turns on data-parallel training over an N-chip
+mesh (psum over ICI).
+
+Usage:
+  python train.py --cfg cfg/yolov3-rotate-hrsc.cfg --data datacfg/hrsc2016.data \
+      --weights weights/darknet53.conv.74.weights --epochs 100 --batch-size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def train(opt):
+    from rotate_yolov3_tpu.utils.device import select_device
+    select_device(getattr(opt, "device", ""))
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rotate_yolov3_tpu.config.hyp import Hyp
+    from rotate_yolov3_tpu.config.parse import (load_classes, parse_data_cfg,
+                                                parse_model_cfg)
+    from rotate_yolov3_tpu.data.datasets import LoadImagesAndLabels
+    from rotate_yolov3_tpu.detector import Detector
+    from rotate_yolov3_tpu.eval.evaluator import (evaluate_dataset,
+                                                  print_eval_table)
+    from rotate_yolov3_tpu.models import (build_network, fuse_bn, init_params,
+                                          load_darknet_weights,
+                                          save_darknet_weights)
+    from rotate_yolov3_tpu.parallel.mesh import (
+        DATA_AXIS, make_mesh, make_parallel_train_step, replicate,
+        shard_batch)
+    from rotate_yolov3_tpu.train.schedule import (cosine_schedule,
+                                                  darknet_schedule)
+    from rotate_yolov3_tpu.train.trainer import (
+        init_train_state, load_checkpoint, make_optimizer, make_train_step,
+        save_checkpoint)
+
+    data_cfg = parse_data_cfg(opt.data)
+    names = load_classes(data_cfg["names"]) if "names" in data_cfg else []
+    module_defs = parse_model_cfg(opt.cfg)
+    spec = build_network(module_defs, img_size=opt.img_size)
+    net = spec.hyperparams()
+    hyp = Hyp()
+
+    params, state = init_params(spec, jax.random.PRNGKey(opt.seed))
+    if opt.weights:
+        params, state, _ = load_darknet_weights(spec, params, state,
+                                                opt.weights)
+        print(f"loaded weights from {opt.weights}")
+
+    # dataset
+    dataset = LoadImagesAndLabels(
+        data_cfg["train"], img_size=spec.img_size,
+        batch_size=opt.batch_size, augment=not opt.no_augment, hyp=hyp,
+        max_gt=opt.max_gt, seed=opt.seed)
+    steps_per_epoch = len(dataset)
+    if steps_per_epoch == 0:
+        raise ValueError("dataset smaller than one batch")
+
+    # optimizer from cfg [net] hyperparams (reference two-tier config)
+    base_lr = opt.lr if opt.lr else float(net.get("learning_rate", 1e-3))
+    burn_in = int(net.get("burn_in", 1000)) if opt.burn_in is None \
+        else opt.burn_in
+    if opt.cosine:
+        sched = cosine_schedule(base_lr, steps_per_epoch * opt.epochs,
+                                burn_in)
+    else:
+        steps = net.get("steps", (400000, 450000))
+        scales = net.get("scales", (0.1, 0.1))
+        sched = darknet_schedule(base_lr, burn_in, steps, scales)
+    optimizer = make_optimizer(sched, momentum=float(net.get("momentum", .9)),
+                               weight_decay=float(net.get("decay", 5e-4)))
+    ts = init_train_state(spec, params, state, optimizer)
+
+    start_epoch = 0
+    ckpt_dir = os.path.join(opt.out_dir, "ckpt")
+    if opt.resume:
+        ts, at = load_checkpoint(ckpt_dir, ts)
+        start_epoch = at
+        print(f"resumed from epoch {at}")
+
+    # train step: single device or DP mesh
+    if opt.devices and opt.devices > 1:
+        mesh = make_mesh(opt.devices)
+        step_fn = make_parallel_train_step(
+            make_train_step(spec, optimizer, hyp, axis_name=DATA_AXIS,
+                            compute_dtype=jnp.bfloat16 if opt.bf16
+                            else jnp.float32), mesh)
+        ts = replicate(mesh, ts)
+
+        def put(b):
+            return shard_batch(mesh, *b)
+    else:
+        step_fn = jax.jit(make_train_step(
+            spec, optimizer, hyp,
+            compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32))
+
+        def put(b):
+            return tuple(jnp.asarray(x) for x in b)
+
+    os.makedirs(opt.out_dir, exist_ok=True)
+    results_path = os.path.join(opt.out_dir, "results.txt")
+    best_map = -1.0
+
+    # one Detector reused across epochs so the eval graph compiles once
+    eval_det = None
+    if not opt.no_eval and "valid" in data_cfg and \
+            os.path.exists(data_cfg["valid"]):
+        eval_det = Detector(opt.cfg, img_size=spec.img_size,
+                            conf_thres=opt.conf_thres,
+                            nms_thres=opt.nms_thres)
+
+    for epoch in range(start_epoch, opt.epochs):
+        dataset.set_epoch(epoch)
+        t0 = time.time()
+        agg = {}
+        n_steps = 0
+        for batch in dataset:
+            imgs, tgts, valid = put(batch)
+            ts, metrics = step_fn(ts, imgs, tgts, valid)
+            n_steps += 1
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+        agg = {k: v / max(n_steps, 1) for k, v in agg.items()}
+        dt = time.time() - t0
+        imgs_per_s = n_steps * opt.batch_size / max(dt, 1e-9)
+        print(f"epoch {epoch}: " +
+              " ".join(f"{k}={v:.4f}" for k, v in sorted(agg.items())) +
+              f" ({imgs_per_s:.1f} img/s)")
+
+        # per-epoch eval (reference train.py calls test.test each epoch)
+        mp = mr = mAP = 0.0
+        if eval_det is not None:
+            eval_det.params = jax.device_get(ts.params)
+            eval_det.state = jax.device_get(ts.state)
+            eval_det.fused_params = fuse_bn(spec, eval_det.params,
+                                            eval_det.state)
+            result = evaluate_dataset(eval_det, data_cfg["valid"],
+                                      batch_size=opt.batch_size,
+                                      names=names,
+                                      max_images=opt.eval_max_images)
+            mp, mr, mAP = result["mp"], result["mr"], result["map"]
+            print_eval_table(result)
+
+        with open(results_path, "a") as f:
+            f.write(f"{epoch} {agg.get('xy', 0):.5f} {agg.get('obj', 0):.5f} "
+                    f"{agg.get('cls', 0):.5f} {agg.get('angle', 0):.5f} "
+                    f"{agg.get('total', 0):.5f} {mp:.5f} {mr:.5f} "
+                    f"{mAP:.5f}\n")
+
+        host_ts = jax.device_get(ts)
+        save_checkpoint(ckpt_dir, host_ts, step=epoch + 1)
+        save_darknet_weights(spec, host_ts.params, host_ts.state,
+                             os.path.join(opt.out_dir, "last.weights"),
+                             seen=int(host_ts.step) * opt.batch_size)
+        if mAP > best_map:
+            best_map = mAP
+            save_darknet_weights(spec, host_ts.params, host_ts.state,
+                                 os.path.join(opt.out_dir, "best.weights"),
+                                 seen=int(host_ts.step) * opt.batch_size)
+    return best_map
+
+
+def make_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--cfg", type=str, required=True)
+    p.add_argument("--data", type=str, required=True)
+    p.add_argument("--weights", type=str, default="",
+                   help="initial .weights (full or backbone-only)")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--img-size", type=int, default=None)
+    p.add_argument("--max-gt", type=int, default=64)
+    p.add_argument("--lr", type=float, default=None,
+                   help="override cfg learning_rate")
+    p.add_argument("--burn-in", type=int, default=None)
+    p.add_argument("--cosine", action="store_true")
+    p.add_argument("--devices", type=int, default=0,
+                   help="data-parallel over N devices (0 = single)")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--no-eval", action="store_true")
+    p.add_argument("--eval-max-images", type=int, default=None)
+    p.add_argument("--conf-thres", type=float, default=0.1)
+    p.add_argument("--nms-thres", type=float, default=0.4)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--out-dir", type=str, default="weights")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--device", type=str, default="",
+                   help="jax platform override (cpu/tpu)")
+    return p
+
+
+if __name__ == "__main__":
+    train(make_parser().parse_args())

@@ -1,13 +1,20 @@
 #!/usr/bin/env python
 """Benchmark: 608x608 end-to-end inference throughput (images/sec/chip).
 
-The headline metric from BASELINE.md: full Darknet-53 rotate-yolov3,
-bfloat16 conv stack, decode + rotated NMS fused in the same XLA program
-(Pallas skew-IoU kernel on TPU), steady-state over the single real chip.
+Full Darknet-53 rotate-yolov3: bfloat16 conv stack, rotated decode +
+fixed-shape rotated NMS (Pallas skew-IoU kernel on TPU), all in one XLA
+program. Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
+vs_baseline = value / 1000 (the driver-set >=1000 img/s/chip target —
+BASELINE.md records that no published reference numbers were recoverable).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is value / 1000 (the driver-set >=1000 img/s/chip target —
-no published reference numbers were recoverable, see BASELINE.md).
+Measurement notes (this machine's axon TPU tunnel):
+  * `block_until_ready` does NOT synchronize remote execution, and repeated
+    executions with identical inputs are served from a remote cache — naive
+    timing reports physically impossible numbers (>10 PFLOP/s).
+  * Honest protocol, validated against a known-FLOPs matmul reaching
+    158 TFLOP/s (~80% of v5e bf16 peak): run K batches inside one jitted
+    `lax.scan` (single dispatch, outputs reduced to a scalar), use a fresh
+    input per timing run, and synchronize by FETCHING the scalar value.
 """
 
 from __future__ import annotations
@@ -20,8 +27,10 @@ import time
 ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
-def bench(batch_size: int = 16, iters: int = 30, warmup: int = 5,
-          img_size: int = 608, max_det: int = 128) -> float:
+def bench(batch_size: int = 128, scan_iters: int = 8, trials: int = 2,
+          img_size: int = 608, max_det: int = 128,
+          conf_thres: float = 0.05, nms_thres: float = 0.4,
+          verbose: bool = False) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -35,38 +44,61 @@ def bench(batch_size: int = 16, iters: int = 30, warmup: int = 5,
         parse_model_cfg(os.path.join(ROOT, "cfg/yolov3-rotate-hrsc.cfg")),
         img_size=img_size)
     params, state = init_params(spec, jax.random.PRNGKey(0))
-    fused = fuse_bn(spec, params, state)
-    fused = jax.tree.map(lambda a: a.astype(jnp.bfloat16), fused)
+    fused = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                         fuse_bn(spec, params, state))
 
-    @jax.jit
-    def infer(fused_params, images):
+    def infer_one(fp, images):
         x = images.astype(jnp.bfloat16) * (1.0 / 255.0)
-        heads = apply_fused(spec, fused_params, x)
+        heads = apply_fused(spec, fp, x)
         heads = [h.astype(jnp.float32) for h in heads]
         pred = decode_all(heads, spec.yolo_specs)
-        return non_max_suppression(pred, conf_thres=0.3, nms_thres=0.4,
-                                   max_det=max_det)
+        # NMS is fixed-shape (cost independent of content); approx_max_k is
+        # the TPU-native top-k. conf 0.05 keeps every NMS stage live even
+        # with random weights.
+        dets, mask = non_max_suppression(pred, conf_thres, nms_thres,
+                                         max_det=max_det, approx_top_k=True)
+        # consume outputs so nothing is dead code
+        return jnp.sum(dets) + jnp.sum(mask)
+
+    @jax.jit
+    def infer_loop(fp, stack):            # stack: (K, B, S, S, 3) uint8
+        def body(c, imgs):
+            return c + infer_one(fp, imgs), None
+        c, _ = jax.lax.scan(body, jnp.float32(0), stack)
+        return c
 
     rng = np.random.default_rng(0)
-    images = jax.device_put(jnp.asarray(
-        rng.integers(0, 255, (batch_size, img_size, img_size, 3)),
-        jnp.uint8))
 
-    for _ in range(warmup):
-        dets, mask = infer(fused, images)
-    dets.block_until_ready()
+    def fresh_stack(seed):
+        r = np.random.default_rng(seed)
+        arr = r.integers(0, 255,
+                         (scan_iters, batch_size, img_size, img_size, 3),
+                         dtype=np.uint8)
+        dev = jax.device_put(jnp.asarray(arr))
+        float(jnp.sum(dev[0, 0, 0, 0]))   # force the transfer NOW
+        return dev
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        dets, mask = infer(fused, images)
-    dets.block_until_ready()
-    dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+    # warmup/compile on stack 0
+    float(infer_loop(fused, fresh_stack(0)))
+
+    best = 0.0
+    for trial in range(trials):
+        stack = fresh_stack(trial + 1)    # bust the remote exec cache
+        t0 = time.perf_counter()
+        v = float(infer_loop(fused, stack))
+        dt = time.perf_counter() - t0
+        ips = scan_iters * batch_size / dt
+        if verbose:
+            print(f"trial {trial}: {dt*1e3:.1f} ms for "
+                  f"{scan_iters}x{batch_size} imgs -> {ips:.1f} img/s "
+                  f"(checksum {v:.3g})", file=sys.stderr)
+        best = max(best, ips)
+    return best
 
 
 if __name__ == "__main__":
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    ips = bench(batch_size=bs)
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    ips = bench(batch_size=bs, verbose=True)
     print(json.dumps({
         "metric": "608x608_inference_throughput",
         "value": round(ips, 2),

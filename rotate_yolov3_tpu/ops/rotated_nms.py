@@ -63,8 +63,9 @@ def greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,
 
 
 def _nms_single(pred: jnp.ndarray, conf_thres: float, nms_thres: float,
-                max_det: int,
-                iou_matrix_fn: Callable) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                max_det: int, iou_matrix_fn: Callable,
+                approx_top_k: bool = False
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-image NMS: (N, 6+nc) decoded preds -> ((max_det, 7), (max_det,))."""
     nc = pred.shape[-1] - 6
     boxes = pred[:, :5]
@@ -80,7 +81,12 @@ def _nms_single(pred: jnp.ndarray, conf_thres: float, nms_thres: float,
     conf_mask = score >= conf_thres
     ranked = jnp.where(conf_mask, score, 0.0)
     k = min(max_det, pred.shape[0])
-    top_scores, top_idx = jax.lax.top_k(ranked, k)
+    if approx_top_k:
+        # TPU-native approximate top-k (SIMD bucketed, ~high recall):
+        # much faster than exact sort over the ~1e5 candidate scores.
+        top_scores, top_idx = jax.lax.approx_max_k(ranked, k)
+    else:
+        top_scores, top_idx = jax.lax.top_k(ranked, k)
     top_boxes = boxes[top_idx]
     top_cls = cls_id[top_idx]
     valid = top_scores > jnp.maximum(conf_thres, 0.0)
@@ -105,7 +111,8 @@ def _nms_single(pred: jnp.ndarray, conf_thres: float, nms_thres: float,
 
 def non_max_suppression(pred: jnp.ndarray, conf_thres: float = 0.1,
                         nms_thres: float = 0.4, max_det: int = 512,
-                        iou_matrix_fn: Optional[Callable] = None
+                        iou_matrix_fn: Optional[Callable] = None,
+                        approx_top_k: bool = False
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched rotated NMS: the reference's L5 public interface, fixed-shape.
 
@@ -127,5 +134,5 @@ def non_max_suppression(pred: jnp.ndarray, conf_thres: float = 0.1,
         fn = iou_matrix_fn
     single = functools.partial(_nms_single, conf_thres=conf_thres,
                                nms_thres=nms_thres, max_det=max_det,
-                               iou_matrix_fn=fn)
+                               iou_matrix_fn=fn, approx_top_k=approx_top_k)
     return jax.vmap(single)(pred)

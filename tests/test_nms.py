@@ -133,3 +133,18 @@ def test_nms_batch_independence():
                                          max_det=16)
     np.testing.assert_allclose(np.asarray(dets_b[0]), np.asarray(dets_1[0]),
                                atol=1e-6)
+
+
+def test_nms_approx_top_k_path():
+    """approx_max_k path: same API/shape; exact on small inputs."""
+    rng = np.random.default_rng(5)
+    n = 64
+    pred = _make_pred(_random_boxes(rng, n), rng.uniform(0, 1, n),
+                      np.ones((n, 1), np.float32))
+    d1, m1 = non_max_suppression(jnp.asarray(pred[None]), 0.2, 0.4,
+                                 max_det=16, approx_top_k=True)
+    d2, m2 = non_max_suppression(jnp.asarray(pred[None]), 0.2, 0.4,
+                                 max_det=16, approx_top_k=False)
+    assert d1.shape == d2.shape
+    # small-N approx_max_k is exact: results match the exact path
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)

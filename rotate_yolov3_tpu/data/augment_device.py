@@ -1,0 +1,211 @@
+"""On-device batch augmentation: HSV jitter, flips, rotation-affine, mosaic.
+
+The reference augments on CPU DataLoader workers (SURVEY.md §3.1); the
+north-star fuses preprocessing into the same XLA graph (BASELINE.json:
+"on-device mosaic/rotation augmentation" for the multi-chip config #5).
+Everything here is pure jnp on fixed shapes, vmapped per image with
+per-image PRNG keys, and composes inside the jitted train step — the host
+loader then only decodes/letterboxes bytes.
+
+Rotated-label handling mirrors ``data.augment``: affine transforms rewrite
+(cx, cy) through the matrix and add the rotation angle to theta (image
+coords: a CCW image rotation by phi subtracts phi from theta); mosaic
+shifts labels per quadrant and re-validates against the crop.
+
+Design notes (TPU):
+  * the affine warp is inverse-mapped bilinear sampling via
+    ``jax.scipy.ndimage.map_coordinates`` (order=1) — gathers vectorise on
+    TPU; shapes are static;
+  * mosaic builds a fixed 2Sx2S canvas from 4 batch neighbours and takes a
+    ``dynamic_slice`` crop, so the whole op is one fused program with no
+    data-dependent shapes;
+  * label capacity stays MAX_GT: mosaic candidates (4*G) are sorted
+    valid-first and truncated.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config.hyp import Hyp
+from ..ops.boxes import normalize_angle
+
+
+def _rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = jnp.max(rgb, axis=-1)
+    mn = jnp.min(rgb, axis=-1)
+    d = mx - mn
+    safe = jnp.where(d > 0, d, 1.0)
+    h = jnp.where(
+        mx == r, (g - b) / safe % 6.0,
+        jnp.where(mx == g, (b - r) / safe + 2.0, (r - g) / safe + 4.0))
+    h = jnp.where(d > 0, h / 6.0, 0.0)
+    s = jnp.where(mx > 0, d / jnp.where(mx > 0, mx, 1.0), 0.0)
+    return jnp.stack([h, s, mx], axis=-1)
+
+
+def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1 - s)
+    q = v * (1 - f * s)
+    t = v * (1 - (1 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def hsv_jitter(key, img: jnp.ndarray, h_gain: float, s_gain: float,
+               v_gain: float) -> jnp.ndarray:
+    """Random HSV gains on one (H, W, 3) float image in [0, 1]."""
+    r = jax.random.uniform(key, (3,), minval=-1.0, maxval=1.0)
+    gains = 1.0 + r * jnp.asarray([h_gain, s_gain, v_gain])
+    hsv = _rgb_to_hsv(img)
+    h = (hsv[..., 0] * gains[0]) % 1.0
+    s = jnp.clip(hsv[..., 1] * gains[1], 0.0, 1.0)
+    v = jnp.clip(hsv[..., 2] * gains[2], 0.0, 1.0)
+    return _hsv_to_rgb(jnp.stack([h, s, v], axis=-1))
+
+
+def flip_lr(do_flip, img: jnp.ndarray, targets: jnp.ndarray
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Conditional horizontal flip of one image + normalized labels."""
+    fimg = jnp.where(do_flip, img[:, ::-1], img)
+    fx = jnp.where(do_flip & (targets[:, 3] > 0), 1.0 - targets[:, 1],
+                   targets[:, 1])
+    fth = jnp.where(do_flip, -targets[:, 5], targets[:, 5])
+    return fimg, targets.at[:, 1].set(fx).at[:, 5].set(fth)
+
+
+def rotate_scale(key, img: jnp.ndarray, targets: jnp.ndarray,
+                 valid: jnp.ndarray, degrees: float, scale: float,
+                 pad_value: float = 0.5
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Random rotation+scale about the image center (one image).
+
+    targets are (G, 6) normalized; returns updated (img, targets, valid).
+    """
+    size = img.shape[0]
+    k1, k2 = jax.random.split(key)
+    phi = jax.random.uniform(k1, (), minval=-degrees, maxval=degrees) \
+        * (math.pi / 180.0)
+    s = jax.random.uniform(k2, (), minval=1.0 - scale, maxval=1.0 + scale)
+
+    # inverse map: output pixel -> source pixel (rotate -phi, scale 1/s)
+    c = (size - 1) / 2.0
+    cos, sin = jnp.cos(phi), jnp.sin(phi)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (size, size), 0) - c
+    xx = jax.lax.broadcasted_iota(jnp.float32, (size, size), 1) - c
+    src_x = (cos * xx + sin * yy) / s + c
+    src_y = (-sin * xx + cos * yy) / s + c
+    out = jnp.stack([
+        jax.scipy.ndimage.map_coordinates(
+            img[..., ch], [src_y, src_x], order=1, mode="constant",
+            cval=pad_value)
+        for ch in range(img.shape[-1])], axis=-1)
+
+    # labels: forward map centers, scale wh, rotate theta (image coords:
+    # CCW-positive phi in math coords == theta += phi with y-down handled
+    # by the sampling above; keep the convention used by data.augment)
+    x = targets[:, 1] * size - c
+    y = targets[:, 2] * size - c
+    nx = (cos * x - sin * y) * s + c
+    ny = (sin * x + cos * y) * s + c
+    nw = targets[:, 3] * s
+    nh = targets[:, 4] * s
+    nth = normalize_angle(targets[:, 5] + phi)
+    new_t = jnp.stack([targets[:, 0], nx / size, ny / size, nw, nh, nth],
+                      axis=1)
+    inside = ((nx / size > 0.0) & (nx / size < 1.0)
+              & (ny / size > 0.0) & (ny / size < 1.0))
+    new_valid = valid & inside
+    new_t = jnp.where(new_valid[:, None], new_t, 0.0)
+    return out, new_t, new_valid
+
+
+def mosaic(key, imgs: jnp.ndarray, targets: jnp.ndarray, valid: jnp.ndarray,
+           pad_value: float = 0.5
+           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched 4-image mosaic with fixed shapes.
+
+    For image i the partners are (i+1, i+2, i+3) mod B. A 2Sx2S canvas of
+    the four images is cropped back to SxS at a random offset; labels from
+    all four are shifted into crop coordinates, re-validated, and truncated
+    back to MAX_GT (valid-first).
+    """
+    b, s = imgs.shape[0], imgs.shape[1]
+    g = targets.shape[1]
+
+    def one(key, i):
+        idx = jnp.stack([i, (i + 1) % b, (i + 2) % b, (i + 3) % b])
+        quad = imgs[idx]                     # (4, S, S, C)
+        canvas = jnp.concatenate([
+            jnp.concatenate([quad[0], quad[1]], axis=1),
+            jnp.concatenate([quad[2], quad[3]], axis=1)], axis=0)  # (2S,2S,C)
+        off = jax.random.randint(key, (2,), 0, s + 1)   # (oy, ox)
+        crop = jax.lax.dynamic_slice(
+            canvas, (off[0], off[1], 0), (s, s, canvas.shape[-1]))
+
+        t4 = targets[idx]                    # (4, G, 6)
+        v4 = valid[idx]
+        qoff = jnp.asarray([[0, 0], [1, 0], [0, 1], [1, 1]], jnp.float32)
+        # pixel coords on the canvas
+        cx = (t4[..., 1] + qoff[:, 0:1]) * s - off[1]
+        cy = (t4[..., 2] + qoff[:, 1:2]) * s - off[0]
+        nt = jnp.stack([t4[..., 0], cx / s, cy / s,
+                        t4[..., 3], t4[..., 4], t4[..., 5]], axis=-1)
+        inside = ((cx / s > 0.0) & (cx / s < 1.0)
+                  & (cy / s > 0.0) & (cy / s < 1.0))
+        nv = (v4 & inside).reshape(4 * g)
+        nt = nt.reshape(4 * g, 6)
+        # keep MAX_GT, valid first (stable order)
+        order = jnp.argsort(~nv, stable=True)
+        nt = jnp.where(nv[order][:g, None], nt[order][:g], 0.0)
+        return crop, nt, nv[order][:g]
+
+    keys = jax.random.split(key, b)
+    return jax.vmap(one)(keys, jnp.arange(b))
+
+
+def augment_batch(key, imgs: jnp.ndarray, targets: jnp.ndarray,
+                  valid: jnp.ndarray, hyp: Hyp = None,
+                  use_mosaic: bool = True, use_hsv: bool = True,
+                  use_flip: bool = True, use_rotate: bool = True
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full on-device augmentation for a (B, S, S, 3) float[0,1] batch.
+
+    Composes mosaic -> rotation/scale -> flip -> HSV inside one jit.
+    Returns (imgs, targets, valid) with the same shapes.
+    """
+    hyp = hyp or Hyp()
+    b = imgs.shape[0]
+    k_mosaic, k_rot, k_flip, k_hsv = jax.random.split(key, 4)
+
+    if use_mosaic:
+        imgs, targets, valid = mosaic(k_mosaic, imgs, targets, valid)
+    if use_rotate:
+        keys = jax.random.split(k_rot, b)
+        imgs, targets, valid = jax.vmap(
+            lambda k, im, t, v: rotate_scale(k, im, t, v, hyp.degrees,
+                                             hyp.scale)
+        )(keys, imgs, targets, valid)
+    if use_flip:
+        flips = jax.random.bernoulli(k_flip, 0.5, (b,))
+        imgs, targets = jax.vmap(flip_lr)(flips, imgs, targets)
+    if use_hsv:
+        keys = jax.random.split(k_hsv, b)
+        imgs = jax.vmap(
+            lambda k, im: hsv_jitter(k, im, hyp.hsv_h, hyp.hsv_s, hyp.hsv_v)
+        )(keys, imgs)
+    return imgs, targets, valid

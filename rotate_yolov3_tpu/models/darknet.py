@@ -263,8 +263,15 @@ def init_params(spec: NetworkSpec, rng: jax.Array,
 
 
 def _conv(x: jnp.ndarray, kernel: jnp.ndarray, stride: int) -> jnp.ndarray:
+    # Darknet pads symmetrically by k//2 (torch Conv2d padding=k//2). XLA's
+    # "SAME" differs for stride-2 (asymmetric 0/1 padding), which would
+    # spatially shift every downsample layer vs the reference checkpoints —
+    # so the padding is explicit.
+    k = kernel.shape[0]
+    pad = k // 2
     return jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(stride, stride), padding="SAME",
+        x, kernel, window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 

@@ -59,20 +59,36 @@ def make_train_step(spec: NetworkSpec,
                     optimizer: optax.GradientTransformation,
                     hyp: Optional[Hyp] = None,
                     axis_name: Optional[str] = None,
-                    compute_dtype=jnp.float32) -> Callable:
+                    compute_dtype=jnp.float32,
+                    device_aug: bool = False,
+                    aug_seed: int = 0) -> Callable:
     """Build the (jittable) train step.
 
     With ``axis_name`` set, gradients and BN batch statistics are averaged
     across the named mesh axis (psum over ICI) — the TPU-native equivalent
     of the reference's optional DataParallel (SURVEY.md §2 "parallelism").
     The returned function is pure: shard_map/jit it at the call site.
+
+    ``device_aug=True`` fuses mosaic/rotation/flip/HSV augmentation into the
+    step itself (BASELINE config #5: on-device augmentation); the PRNG key
+    is folded from the step counter (and the mesh axis index under DP) so
+    every step/device augments differently yet reproducibly.
     """
     hyp = hyp or Hyp()
     yolo_specs = spec.yolo_specs
     img_size = spec.img_size
 
-    def loss_fn(params, state, imgs, targets, valid):
-        x = imgs.astype(compute_dtype) / 255.0
+    def loss_fn(params, state, imgs, targets, valid, step):
+        x = imgs.astype(jnp.float32) / 255.0
+        if device_aug:
+            from ..data.augment_device import augment_batch
+
+            key = jax.random.fold_in(jax.random.PRNGKey(aug_seed), step)
+            if axis_name is not None:
+                key = jax.random.fold_in(key,
+                                         jax.lax.axis_index(axis_name))
+            x, targets, valid = augment_batch(key, x, targets, valid, hyp)
+        x = x.astype(compute_dtype)
         heads, new_state = apply_network(spec, params, state, x, train=True,
                                          axis_name=axis_name)
         heads = [h.astype(jnp.float32) for h in heads]
@@ -83,7 +99,8 @@ def make_train_step(spec: NetworkSpec,
     def train_step(ts: TrainState, imgs, targets, valid
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         (loss, (new_state, comp)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(ts.params, ts.state, imgs, targets, valid)
+            loss_fn, has_aux=True)(ts.params, ts.state, imgs, targets,
+                                   valid, ts.step)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             comp = jax.lax.pmean(comp, axis_name)

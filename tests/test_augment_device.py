@@ -1,0 +1,134 @@
+"""On-device augmentation tests: label/image consistency under jit."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rotate_yolov3_tpu.config.hyp import Hyp
+from rotate_yolov3_tpu.data.augment_device import (
+    _hsv_to_rgb, _rgb_to_hsv, augment_batch, flip_lr, hsv_jitter, mosaic,
+    rotate_scale)
+
+
+def _img_with_box(size=64, cx=0.5, cy=0.5, w=0.4, h=0.2, th=0.0):
+    """Dark image with a bright axis box at (cx, cy); label row to match."""
+    img = np.full((size, size, 3), 0.1, np.float32)
+    x0, x1 = int((cx - w / 2) * size), int((cx + w / 2) * size)
+    y0, y1 = int((cy - h / 2) * size), int((cy + h / 2) * size)
+    img[y0:y1, x0:x1] = 0.9
+    t = np.zeros((4, 6), np.float32)
+    t[0] = [0, cx, cy, w, h, th]
+    v = np.zeros((4,), bool)
+    v[0] = True
+    return img, t, v
+
+
+def test_hsv_roundtrip():
+    rng = np.random.default_rng(0)
+    rgb = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    back = np.asarray(_hsv_to_rgb(_rgb_to_hsv(jnp.asarray(rgb))))
+    np.testing.assert_allclose(back, rgb, atol=1e-5)
+
+
+def test_hsv_jitter_changes_colors_keeps_range():
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+    out = np.asarray(hsv_jitter(jax.random.PRNGKey(0), img, 0.05, 0.5, 0.5))
+    assert out.shape == img.shape
+    assert out.min() >= 0 and out.max() <= 1
+    assert not np.allclose(out, np.asarray(img))
+
+
+def test_flip_lr_moves_box():
+    img, t, v = _img_with_box(cx=0.25)
+    fimg, ft = flip_lr(jnp.asarray(True), jnp.asarray(img), jnp.asarray(t))
+    assert float(ft[0, 1]) == pytest.approx(0.75)
+    # bright pixels moved to the right half
+    assert np.asarray(fimg)[:, 48:].max() > 0.8
+    # no-flip path is identity
+    nimg, nt = flip_lr(jnp.asarray(False), jnp.asarray(img), jnp.asarray(t))
+    np.testing.assert_array_equal(np.asarray(nimg), img)
+
+
+def test_rotate_scale_consistency():
+    """After rotation the label center must still sit on bright pixels."""
+    img, t, v = _img_with_box(size=96, cx=0.6, cy=0.4, w=0.3, h=0.15)
+    for seed in range(4):
+        out, nt, nv = rotate_scale(jax.random.PRNGKey(seed),
+                                   jnp.asarray(img), jnp.asarray(t),
+                                   jnp.asarray(v), degrees=35.0, scale=0.2)
+        out, nt, nv = np.asarray(out), np.asarray(nt), np.asarray(nv)
+        assert nv[0], seed
+        cx, cy = int(nt[0, 1] * 96), int(nt[0, 2] * 96)
+        assert out[cy, cx].max() > 0.5, (seed, nt[0])
+        # theta rewritten by the rotation; w/h scaled together
+        ratio = nt[0, 3] / t[0, 3]
+        assert nt[0, 4] / t[0, 4] == pytest.approx(ratio, rel=1e-4)
+
+
+def test_rotate_drops_out_of_bounds():
+    img, t, v = _img_with_box(size=64, cx=0.04, cy=0.04, w=0.05, h=0.05)
+    dropped = 0
+    for seed in range(8):
+        _, nt, nv = rotate_scale(jax.random.PRNGKey(seed), jnp.asarray(img),
+                                 jnp.asarray(t), jnp.asarray(v),
+                                 degrees=45.0, scale=0.3)
+        if not bool(nv[0]):
+            dropped += 1
+            np.testing.assert_array_equal(np.asarray(nt[0]), 0.0)
+    assert dropped >= 1
+
+
+def test_mosaic_shapes_and_label_consistency():
+    size, b = 64, 4
+    imgs, ts, vs = [], [], []
+    for i in range(b):
+        img, t, v = _img_with_box(size=size, cx=0.3 + 0.1 * i, cy=0.5,
+                                  w=0.25, h=0.2)
+        imgs.append(img)
+        ts.append(t)
+        vs.append(v)
+    imgs = jnp.asarray(np.stack(imgs))
+    ts = jnp.asarray(np.stack(ts))
+    vs = jnp.asarray(np.stack(vs))
+    out, nt, nv = mosaic(jax.random.PRNGKey(3), imgs, ts, vs)
+    assert out.shape == imgs.shape
+    assert nt.shape == ts.shape and nv.shape == vs.shape
+    out, nt, nv = np.asarray(out), np.asarray(nt), np.asarray(nv)
+    # every surviving label center lands on bright pixels
+    for bi in range(b):
+        for ti in range(nt.shape[1]):
+            if nv[bi, ti]:
+                cx, cy = int(nt[bi, ti, 1] * size), int(nt[bi, ti, 2] * size)
+                assert out[bi, cy, cx].max() > 0.5, (bi, ti, nt[bi, ti])
+    # invalid rows zeroed, valid rows sorted first
+    for bi in range(b):
+        np.testing.assert_array_equal(nt[bi][~nv[bi]], 0.0)
+        first_invalid = np.argmax(~nv[bi]) if (~nv[bi]).any() else len(nv[bi])
+        assert not nv[bi][first_invalid:].any()
+
+
+def test_augment_batch_jits_and_keeps_shapes():
+    rng = np.random.default_rng(2)
+    b, s, g = 4, 64, 8
+    imgs = jnp.asarray(rng.uniform(0, 1, (b, s, s, 3)).astype(np.float32))
+    t = np.zeros((b, g, 6), np.float32)
+    t[:, 0] = [0, 0.5, 0.5, 0.3, 0.2, 0.4]
+    v = np.zeros((b, g), bool)
+    v[:, 0] = True
+    fn = jax.jit(lambda k, i, t_, v_: augment_batch(k, i, t_, v_, Hyp()))
+    oi, ot, ov = fn(jax.random.PRNGKey(0), imgs, jnp.asarray(t),
+                    jnp.asarray(v))
+    assert oi.shape == imgs.shape and ot.shape == t.shape
+    assert np.all(np.isfinite(np.asarray(oi)))
+    # different key -> different augmentation
+    oi2, _, _ = fn(jax.random.PRNGKey(1), imgs, jnp.asarray(t),
+                   jnp.asarray(v))
+    assert not np.allclose(np.asarray(oi), np.asarray(oi2))
+    # same key -> deterministic
+    oi3, _, _ = fn(jax.random.PRNGKey(0), imgs, jnp.asarray(t),
+                   jnp.asarray(v))
+    np.testing.assert_array_equal(np.asarray(oi), np.asarray(oi3))

@@ -1,0 +1,117 @@
+"""Cross-framework parity: JAX forward vs an independent torch (CPU)
+reconstruction fed from the same .weights bytes.
+
+SURVEY.md §4 calls for fp32 tolerance against stored reference activations;
+the reference mount is empty (see SURVEY.md caveat), so the strongest
+available substitute is an independent PyTorch implementation of the same
+cfg semantics — conv/BN/leaky arithmetic, shortcut adds, route concats,
+nearest upsample, maxpool — loaded from OUR .weights serialization with
+torch's own OIHW convention. Agreement to fp32 tolerance validates both the
+network math and the .weights byte layout against a second framework.
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from rotate_yolov3_tpu.config.parse import parse_model_cfg
+from rotate_yolov3_tpu.models import (apply_network, build_network,
+                                      init_params, save_darknet_weights)
+from rotate_yolov3_tpu.models.darknet import (ConvSpec, MaxPoolSpec,
+                                              RouteSpec, ShortcutSpec,
+                                              UpsampleSpec, YoloSpec)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TINY = os.path.join(ROOT, "cfg/yolov3-rotate-tiny.cfg")
+BN_EPS = 1e-5
+
+
+def torch_forward_from_weights(spec, weights_path, x_nchw):
+    """Run the cfg network in torch from a .weights file (darknet layout)."""
+    flat = np.fromfile(weights_path, dtype=np.float32, offset=20)
+    ptr = 0
+
+    def take(n):
+        nonlocal ptr
+        out = flat[ptr:ptr + n]
+        ptr += n
+        return torch.from_numpy(out.copy())
+
+    cache = {}
+    heads = []
+    x = x_nchw
+    routs = set(spec.routs)
+    for layer in spec.layers:
+        if isinstance(layer, ConvSpec):
+            oc, ic, k = layer.out_c, layer.in_c, layer.size
+            if layer.bn:
+                beta = take(oc)
+                gamma = take(oc)
+                mean = take(oc)
+                var = take(oc)
+                w = take(oc * ic * k * k).reshape(oc, ic, k, k)
+                x = torch.nn.functional.conv2d(x, w, stride=layer.stride,
+                                               padding=k // 2)
+                inv = gamma / torch.sqrt(var + BN_EPS)
+                x = x * inv.view(1, -1, 1, 1) + (
+                    beta - mean * inv).view(1, -1, 1, 1)
+            else:
+                bias = take(oc)
+                w = take(oc * ic * k * k).reshape(oc, ic, k, k)
+                x = torch.nn.functional.conv2d(x, w, bias,
+                                               stride=layer.stride,
+                                               padding=k // 2)
+            if layer.activation == "leaky":
+                x = torch.nn.functional.leaky_relu(x, 0.1)
+        elif isinstance(layer, ShortcutSpec):
+            x = x + cache[layer.frm]
+        elif isinstance(layer, RouteSpec):
+            xs = [cache[l] for l in layer.layers]
+            x = xs[0] if len(xs) == 1 else torch.cat(xs, dim=1)
+        elif isinstance(layer, UpsampleSpec):
+            x = torch.nn.functional.interpolate(x, scale_factor=layer.stride,
+                                                mode="nearest")
+        elif isinstance(layer, MaxPoolSpec):
+            x = torch.nn.functional.max_pool2d(
+                x, layer.size, layer.stride,
+                padding=0 if layer.size == layer.stride else layer.size // 2)
+        elif isinstance(layer, YoloSpec):
+            heads.append(x)
+        if layer.index in routs:
+            cache[layer.index] = x
+    assert ptr == len(flat), (ptr, len(flat))
+    return heads
+
+
+@pytest.mark.parametrize("img_size", [64, 96])
+def test_jax_vs_torch_forward(tmp_path, img_size):
+    import jax
+    import jax.numpy as jnp
+
+    spec = build_network(parse_model_cfg(TINY), img_size=img_size)
+    params, state = init_params(spec, jax.random.PRNGKey(42))
+    # non-trivial BN stats
+    state = jax.tree.map(
+        lambda a: a + 0.05 * jnp.arange(a.size, dtype=a.dtype) / a.size,
+        state)
+    wpath = str(tmp_path / "parity.weights")
+    save_darknet_weights(spec, params, state, wpath)
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (1, img_size, img_size, 3)).astype(np.float32)
+
+    heads_jax, _ = apply_network(spec, params, state,
+                                 jnp.asarray(img), train=False)
+    heads_torch = torch_forward_from_weights(
+        spec, wpath, torch.from_numpy(img.transpose(0, 3, 1, 2)))
+
+    assert len(heads_jax) == len(heads_torch)
+    for hj, ht in zip(heads_jax, heads_torch):
+        hj = np.asarray(hj)                       # NHWC
+        ht = ht.detach().numpy().transpose(0, 2, 3, 1)
+        assert hj.shape == ht.shape
+        np.testing.assert_allclose(hj, ht, rtol=2e-4, atol=2e-4)

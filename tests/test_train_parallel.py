@@ -153,3 +153,35 @@ def test_checkpoint_missing_raises(tmp_path):
     spec, opt, ts = _setup()
     with pytest.raises(FileNotFoundError):
         load_checkpoint(str(tmp_path / "nope"), ts)
+
+
+def test_device_aug_train_step():
+    """On-device augmentation fused into the step (BASELINE config #5)."""
+    spec, _, _ = _setup()
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    opt = make_optimizer(darknet_schedule(1e-3, burn_in=10))
+    ts = init_train_state(spec, params, state, opt)
+    step = jax.jit(make_train_step(spec, opt, device_aug=True))
+    imgs, tgts, valid = _batch(b=4)
+    for _ in range(2):
+        ts, m = step(ts, imgs, tgts, valid)
+        assert np.isfinite(float(m["total"]))
+    assert int(ts.step) == 2
+
+
+def test_device_aug_parallel_step():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    spec, _, _ = _setup()
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    opt = make_optimizer(darknet_schedule(1e-3, burn_in=10))
+    ts = init_train_state(spec, params, state, opt)
+    mesh = make_mesh(8)
+    pstep = make_parallel_train_step(
+        make_train_step(spec, opt, axis_name=DATA_AXIS, device_aug=True),
+        mesh)
+    ts = replicate(mesh, ts)
+    imgs, tgts, valid = _batch(b=8)
+    batch = shard_batch(mesh, imgs, tgts, valid)
+    ts, m = pstep(ts, *batch)
+    assert np.isfinite(float(m["total"]))

@@ -91,20 +91,23 @@ def train(opt):
         print(f"resumed from epoch {at}")
 
     # train step: single device or DP mesh
+    step_kwargs = dict(
+        hyp=hyp, compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32,
+        device_aug=opt.device_aug, aug_seed=opt.seed)
+    if opt.device_aug:
+        # host loader stops augmenting; the train step does it on device
+        dataset.augment = False
     if opt.devices and opt.devices > 1:
         mesh = make_mesh(opt.devices)
         step_fn = make_parallel_train_step(
-            make_train_step(spec, optimizer, hyp, axis_name=DATA_AXIS,
-                            compute_dtype=jnp.bfloat16 if opt.bf16
-                            else jnp.float32), mesh)
+            make_train_step(spec, optimizer, axis_name=DATA_AXIS,
+                            **step_kwargs), mesh)
         ts = replicate(mesh, ts)
 
         def put(b):
             return shard_batch(mesh, *b)
     else:
-        step_fn = jax.jit(make_train_step(
-            spec, optimizer, hyp,
-            compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32))
+        step_fn = jax.jit(make_train_step(spec, optimizer, **step_kwargs))
 
         def put(b):
             return tuple(jnp.asarray(x) for x in b)
@@ -190,6 +193,9 @@ def make_parser():
                    help="data-parallel over N devices (0 = single)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--device-aug", action="store_true",
+                   help="fuse mosaic/rotation/flip/HSV augmentation into "
+                        "the jitted train step (on-device)")
     p.add_argument("--no-eval", action="store_true")
     p.add_argument("--eval-max-images", type=int, default=None)
     p.add_argument("--conf-thres", type=float, default=0.1)

@@ -26,7 +26,8 @@ def detect(opt):
     import jax.numpy as jnp
 
     from rotate_yolov3_tpu.config.parse import load_classes, parse_data_cfg
-    from rotate_yolov3_tpu.data.loaders import LoadImages, batched
+    from rotate_yolov3_tpu.data.loaders import (LoadImages, LoadWebcam,
+                                                batched)
     from rotate_yolov3_tpu.detector import Detector, detections_to_numpy
     from rotate_yolov3_tpu.ops.boxes import scale_coords_rotated
     from rotate_yolov3_tpu.utils.plotting import draw_detections
@@ -44,7 +45,10 @@ def detect(opt):
         compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32)
 
     os.makedirs(opt.output, exist_ok=True)
-    loader = LoadImages(opt.source, img_size=det.img_size)
+    if opt.source.isdigit() or opt.source.startswith(("rtsp://", "http://")):
+        loader = LoadWebcam(opt.source, img_size=det.img_size)
+    else:
+        loader = LoadImages(opt.source, img_size=det.img_size)
     t_total, n_imgs = 0.0, 0
 
     for items, n_real in batched(iter(loader), opt.batch_size):

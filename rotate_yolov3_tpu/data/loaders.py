@@ -34,6 +34,32 @@ def list_sources(source: str) -> List[str]:
     return out
 
 
+class LoadWebcam:
+    """Iterate webcam/stream frames (the reference's LoadWebcam,
+    SURVEY.md §2 "inference loaders"). ``source`` is a cv2 capture index
+    (``0``) or a stream URL. Yields the same tuple shape as LoadImages."""
+
+    def __init__(self, source="0", img_size: int = 608):
+        import cv2
+
+        self.img_size = img_size
+        src = int(source) if str(source).isdigit() else source
+        self.cap = cv2.VideoCapture(src)
+        if not self.cap.isOpened():
+            raise IOError(f"failed to open webcam/stream {source}")
+
+    def __iter__(self):
+        n = 0
+        while True:
+            ok, img0 = self.cap.read()
+            if not ok:
+                break
+            boxed, ratio, pad = letterbox(img0, self.img_size)
+            yield f"webcam#{n}", boxed, img0, ratio, pad
+            n += 1
+        self.cap.release()
+
+
 class LoadImages:
     """Iterate over image/video files yielding
     (path, letterboxed_img, original_img, ratio, pad)."""

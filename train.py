@@ -97,20 +97,45 @@ def train(opt):
     if opt.device_aug:
         # host loader stops augmenting; the train step does it on device
         dataset.augment = False
+
+    mesh = None
     if opt.devices and opt.devices > 1:
         mesh = make_mesh(opt.devices)
-        step_fn = make_parallel_train_step(
-            make_train_step(spec, optimizer, axis_name=DATA_AXIS,
-                            **step_kwargs), mesh)
         ts = replicate(mesh, ts)
 
         def put(b):
             return shard_batch(mesh, *b)
     else:
-        step_fn = jax.jit(make_train_step(spec, optimizer, **step_kwargs))
-
         def put(b):
             return tuple(jnp.asarray(x) for x in b)
+
+    # One step function per net-input size. Multi-scale training (the
+    # reference's [yolo] random=1 behavior) picks a size per epoch from
+    # 0.67x..1.5x in 32px steps — each size compiles once (jit cache).
+    import dataclasses as _dc
+
+    _step_cache = {}
+
+    def step_fn_for(size):
+        if size not in _step_cache:
+            sspec = _dc.replace(spec, img_size=size)
+            if mesh is not None:
+                fn = make_parallel_train_step(
+                    make_train_step(sspec, optimizer, axis_name=DATA_AXIS,
+                                    **step_kwargs), mesh)
+            else:
+                fn = jax.jit(make_train_step(sspec, optimizer,
+                                             **step_kwargs))
+            _step_cache[size] = fn
+        return _step_cache[size]
+
+    if opt.multi_scale:
+        base = spec.img_size
+        scale_sizes = sorted({max(32, (int(base * s) // 32) * 32)
+                              for s in np.linspace(0.67, 1.5, 8)})
+        print(f"multi-scale sizes: {scale_sizes}")
+    else:
+        scale_sizes = [spec.img_size]
 
     os.makedirs(opt.out_dir, exist_ok=True)
     results_path = os.path.join(opt.out_dir, "results.txt")
@@ -126,6 +151,11 @@ def train(opt):
 
     for epoch in range(start_epoch, opt.epochs):
         dataset.set_epoch(epoch)
+        size = scale_sizes[
+            np.random.default_rng((opt.seed, epoch)).integers(
+                len(scale_sizes))] if opt.multi_scale else scale_sizes[0]
+        dataset.img_size = size
+        step_fn = step_fn_for(size)
         t0 = time.time()
         agg = {}
         n_steps = 0
@@ -196,6 +226,9 @@ def make_parser():
     p.add_argument("--device-aug", action="store_true",
                    help="fuse mosaic/rotation/flip/HSV augmentation into "
                         "the jitted train step (on-device)")
+    p.add_argument("--multi-scale", action="store_true",
+                   help="vary net input size per epoch (0.67x-1.5x, /32) — "
+                        "the reference's random=1 cfg behavior")
     p.add_argument("--no-eval", action="store_true")
     p.add_argument("--eval-max-images", type=int, default=None)
     p.add_argument("--conf-thres", type=float, default=0.1)

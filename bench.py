@@ -27,7 +27,7 @@ import time
 ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
-def bench(batch_size: int = 128, scan_iters: int = 8, trials: int = 2,
+def bench(batch_size: int = 128, scan_iters: int = 16, trials: int = 2,
           img_size: int = 608, max_det: int = 128,
           conf_thres: float = 0.05, nms_thres: float = 0.4,
           verbose: bool = False) -> float:
@@ -37,8 +37,8 @@ def bench(batch_size: int = 128, scan_iters: int = 8, trials: int = 2,
 
     from rotate_yolov3_tpu.config.parse import parse_model_cfg
     from rotate_yolov3_tpu.models import (apply_fused, build_network,
-                                          decode_all, fuse_bn, init_params)
-    from rotate_yolov3_tpu.ops.rotated_nms import non_max_suppression
+                                          fuse_bn, init_params)
+    from rotate_yolov3_tpu.ops.rotated_nms import non_max_suppression_fused
 
     spec = build_network(
         parse_model_cfg(os.path.join(ROOT, "cfg/yolov3-rotate-hrsc.cfg")),
@@ -50,13 +50,11 @@ def bench(batch_size: int = 128, scan_iters: int = 8, trials: int = 2,
     def infer_one(fp, images):
         x = images.astype(jnp.bfloat16) * (1.0 / 255.0)
         heads = apply_fused(spec, fp, x)
-        heads = [h.astype(jnp.float32) for h in heads]
-        pred = decode_all(heads, spec.yolo_specs)
-        # NMS is fixed-shape (cost independent of content); approx_max_k is
-        # the TPU-native top-k. conf 0.05 keeps every NMS stage live even
-        # with random weights.
-        dets, mask = non_max_suppression(pred, conf_thres, nms_thres,
-                                         max_det=max_det, approx_top_k=True)
+        # score-first fused NMS: decode only the top-K candidates. NMS is
+        # fixed-shape (cost independent of content); conf 0.05 keeps every
+        # stage live even with random weights.
+        dets, mask = non_max_suppression_fused(
+            heads, spec.yolo_specs, conf_thres, nms_thres, max_det=max_det)
         # consume outputs so nothing is dead code
         return jnp.sum(dets) + jnp.sum(mask)
 

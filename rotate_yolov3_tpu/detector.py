@@ -21,7 +21,8 @@ from .models.darknet import (NetworkSpec, apply_fused, apply_network,
                              build_network, fuse_bn, init_params)
 from .models.weights_io import load_darknet_weights
 from .models.yolo_head import decode_all
-from .ops.rotated_nms import non_max_suppression
+from .ops.rotated_nms import (non_max_suppression,
+                              non_max_suppression_fused)
 
 
 class Detector:
@@ -76,11 +77,13 @@ class Detector:
         def _infer(fused_params, images, train=False):
             x = images.astype(compute_dtype) / 255.0
             heads = apply_fused(spec, fused_params, x)
-            heads = [h.astype(jnp.float32) for h in heads]
-            pred = decode_all(heads, spec.yolo_specs)
-            return non_max_suppression(
-                pred, conf_thres=conf_thres, nms_thres=nms_thres,
-                max_det=max_det, iou_matrix_fn=iou_matrix_fn)
+            # score-first path: rank candidates from the raw maps, decode
+            # only the top max_det (identical results to decode_all + NMS
+            # with exact top-k; see tests/test_nms.py)
+            return non_max_suppression_fused(
+                heads, spec.yolo_specs, conf_thres=conf_thres,
+                nms_thres=nms_thres, max_det=max_det,
+                iou_matrix_fn=iou_matrix_fn, approx_top_k=False)
 
         self._infer = _infer
 

@@ -96,6 +96,73 @@ def decode_all(head_raws: Sequence[jnp.ndarray],
         [decode_head(r, s) for r, s in zip(head_raws, yolo_specs)], axis=1)
 
 
+def head_scores(raw: jnp.ndarray, spec: YoloSpec) -> jnp.ndarray:
+    """Detection scores straight from the raw head map: (B, H*W*na).
+
+    score = sigmoid(obj) * max_c sigmoid(cls_c) — computed WITHOUT decoding
+    boxes, so the score-first inference path (see
+    ``ops.rotated_nms.non_max_suppression_fused``) never materialises the
+    full (B, N, 6+nc) decoded tensor.
+    """
+    p = reshape_head(raw, spec)
+    b = p.shape[0]
+    obj = jax.nn.sigmoid(p[..., 5])
+    if spec.num_classes > 1:
+        cls = jnp.max(jax.nn.sigmoid(p[..., 6:]), axis=-1)
+    else:
+        cls = jax.nn.sigmoid(p[..., 6])
+    return (obj * cls).reshape(b, -1)
+
+
+def decode_gathered(head_raws: Sequence[jnp.ndarray],
+                    yolo_specs: Sequence[YoloSpec],
+                    idx: jnp.ndarray) -> jnp.ndarray:
+    """Decode only the selected predictions.
+
+    Args:
+      head_raws: raw per-head maps (B, H, W, na*no).
+      idx: (B, K) int32 global flat indices into the concatenated
+        per-head flattened prediction axis (same ordering as
+        ``decode_all``: heads in order, each H*W*na row-major).
+    Returns:
+      (B, K, 6+nc) decoded rows — identical values to
+      ``decode_all(...)[b, idx]`` but with the decode math running on K
+      rows instead of the full prediction tensor.
+    """
+    b, k = idx.shape
+    no = yolo_specs[0].no
+    out = jnp.zeros((b, k, no), jnp.float32)
+    offset = 0
+    for raw, spec in zip(head_raws, yolo_specs):
+        h, w = raw.shape[1], raw.shape[2]
+        n = h * w * spec.na
+        local = idx - offset
+        in_head = (local >= 0) & (local < n)
+        safe = jnp.clip(local, 0, n - 1)
+        flat = reshape_head(raw, spec).reshape(b, n, no)
+        rows = jnp.take_along_axis(flat, safe[..., None], axis=1)
+        rows = rows.astype(jnp.float32)
+
+        anchors_wh, anchor_angles = head_anchors(spec)
+        awh = jnp.asarray(anchors_wh)
+        aang = jnp.asarray(anchor_angles)
+        a_idx = safe % spec.na
+        cell = safe // spec.na
+        gx = (cell % w).astype(jnp.float32)
+        gy = (cell // w).astype(jnp.float32)
+        xy = (jax.nn.sigmoid(rows[..., 0:2])
+              + jnp.stack([gx, gy], axis=-1)) * spec.stride
+        wh = awh[a_idx] * jnp.exp(jnp.clip(rows[..., 2:4],
+                                           -_WH_CLAMP, _WH_CLAMP))
+        theta = (aang[a_idx] + ANGLE_RANGE * jnp.tanh(rows[..., 4]))[..., None]
+        obj = jax.nn.sigmoid(rows[..., 5:6])
+        cls = jax.nn.sigmoid(rows[..., 6:])
+        dec = jnp.concatenate([xy, wh, theta, obj, cls], axis=-1)
+        out = jnp.where(in_head[..., None], dec, out)
+        offset += n
+    return out
+
+
 def num_predictions(spec: NetworkSpec) -> int:
     """Total decoded prediction count for a square net-input image."""
     n = 0

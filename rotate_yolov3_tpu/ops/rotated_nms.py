@@ -136,3 +136,58 @@ def non_max_suppression(pred: jnp.ndarray, conf_thres: float = 0.1,
                                nms_thres=nms_thres, max_det=max_det,
                                iou_matrix_fn=fn, approx_top_k=approx_top_k)
     return jax.vmap(single)(pred)
+
+
+def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
+                              nms_thres: float = 0.4, max_det: int = 512,
+                              iou_matrix_fn: Optional[Callable] = None,
+                              approx_top_k: bool = True
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Score-first NMS straight from raw head maps (production path).
+
+    Equivalent results to ``decode_all`` + ``non_max_suppression`` but never
+    materialises the full (B, N, 6+nc) decoded tensor: scores come from the
+    raw maps (sigmoid obj*cls), top-k selects ``max_det`` candidates, and
+    box decode runs on those K rows only. Default approx top-k (TPU-native;
+    exact for the parity path via approx_top_k=False).
+    """
+    from ..models.yolo_head import decode_gathered, head_scores
+
+    scores = jnp.concatenate(
+        [head_scores(r, s) for r, s in zip(head_raws, yolo_specs)], axis=1)
+    ranked = jnp.where(scores >= conf_thres, scores, 0.0)
+    k = min(max_det, scores.shape[1])
+    if approx_top_k:
+        top_scores, top_idx = jax.lax.approx_max_k(ranked, k)
+    else:
+        top_scores, top_idx = jax.lax.top_k(ranked, k)
+    rows = decode_gathered(head_raws, yolo_specs, top_idx)  # (B, K, 6+nc)
+
+    nc = rows.shape[-1] - 6
+    boxes = rows[..., :5]
+    if nc > 1:
+        cls_id = jnp.argmax(rows[..., 6:], axis=-1)
+    else:
+        cls_id = jnp.zeros(rows.shape[:2], jnp.int32)
+    valid = top_scores > jnp.maximum(conf_thres, 0.0)
+    boxes = jnp.where(valid[..., None], boxes, 0.0)
+    shifted = boxes.at[..., 0].add(cls_id.astype(boxes.dtype)
+                                   * _CLASS_OFFSET)
+
+    if iou_matrix_fn is None:
+        from .skew_iou_pallas import skew_iou_matrix_auto
+        iou_matrix_fn = skew_iou_matrix_auto
+
+    def one(shifted_b, boxes_b, scores_b, cls_b, valid_b):
+        iou = iou_matrix_fn(shifted_b, shifted_b)
+        keep = greedy_suppress(iou, valid_b, nms_thres)
+        out = jnp.concatenate(
+            [boxes_b, scores_b[:, None],
+             cls_b[:, None].astype(boxes_b.dtype)], axis=-1)
+        return jnp.where(keep[:, None], out, 0.0), keep
+
+    out, keep = jax.vmap(one)(shifted, boxes, top_scores, cls_id, valid)
+    if k < max_det:
+        out = jnp.pad(out, ((0, 0), (0, max_det - k), (0, 0)))
+        keep = jnp.pad(keep, ((0, 0), (0, max_det - k)))
+    return out, keep

@@ -126,47 +126,63 @@ def _area_from_candidates(px, py, valid):
     """Masked convex-polygon area from unordered candidates.
 
     px/py/valid: (24, ...) stacked candidates. Rank-sorts by angle around
-    the valid-centroid (branch-free: pairwise comparisons + one-hot
+    the valid-centroid (branch-free pairwise comparisons + one-hot
     gather), then masked shoelace with modular wrap.
+
+    Implementation detail: the pairwise rank/gather stages are STATIC
+    Python loops over the 24 candidates rather than broadcast
+    (24, 24, ...) tensor ops — broadcast temporaries of 576 tile-sized
+    planes blow VMEM and force Mosaic to spill; the unrolled form keeps
+    every temporary one (BN, BM) tile.
     """
     maskf = valid.astype(px.dtype)
     n_valid = jnp.sum(maskf, axis=0)
     inv_n = 1.0 / jnp.maximum(n_valid, 1.0)
     cx = jnp.sum(px * maskf, axis=0) * inv_n
     cy = jnp.sum(py * maskf, axis=0) * inv_n
-    rx = px - cx
-    ry = py - cy
-    ang = _diamond_angle(ry, rx)
-    key = jnp.where(valid, ang, 1e4)
+    rxs = [px[i] - cx for i in range(_NCAND)]
+    rys = [py[i] - cy for i in range(_NCAND)]
+    # epsilon-index offset makes keys unique, so the rank-sort needs no tie
+    # logic. Exact-angle ties between DISTINCT valid points would require
+    # two hull vertices collinear with the interior centroid — impossible
+    # for a convex polygon with positive area; duplicate points are
+    # order-independent (they contribute zero to the shoelace either way).
+    keys = [jnp.where(valid[i], _diamond_angle(rys[i], rxs[i]), 1e4)
+            + i * 1e-6 for i in range(_NCAND)]
 
-    # rank[i] = #{j : key[j] < key[i], ties broken by index}
-    # (index tensors via iota — Pallas kernels may not capture constants)
-    ki = key[:, None]          # (24, 1, ...)
-    kj = key[None, :]          # (1, 24, ...)
-    pair_shape = (_NCAND, _NCAND) + (1,) * (key.ndim - 1)
-    ii = jax.lax.broadcasted_iota(jnp.int32, pair_shape, 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, pair_shape, 1)
-    less = (kj < ki)
-    tie = (kj == ki) & (jj < ii)
-    rank = jnp.sum((less | tie).astype(px.dtype), axis=1)   # (24, ...)
+    # rank[i] = #{j : key[j] < key[i]}
+    zero = jnp.zeros_like(keys[0])
+    one = jnp.ones_like(keys[0])
+    ranks = []
+    for i in range(_NCAND):
+        r = zero
+        for j in range(_NCAND):
+            if j != i:
+                r = r + jnp.where(keys[j] < keys[i], one, zero)
+        ranks.append(r)
 
-    # sorted[r] = sum_i onehot(rank[i] == r) * val[i]
-    r_col = jax.lax.broadcasted_iota(
-        jnp.int32, (_NCAND, 1) + (1,) * (key.ndim - 1), 0).astype(px.dtype)
-    onehot = (rank[None] == r_col).astype(px.dtype)  # (24_rank, 24_cand, ...)
-    srx = jnp.sum(onehot * rx[None, :], axis=1)
-    sry = jnp.sum(onehot * ry[None, :], axis=1)
-    smf = jnp.sum(onehot * maskf[None, :], axis=1)
+    # sorted[r] = sum_i (rank[i] == r) * val[i]
+    srx, sry = [], []
+    for r in range(_NCAND):
+        ax = zero
+        ay = zero
+        for i in range(_NCAND):
+            hit = ranks[i] == float(r)
+            ax = ax + jnp.where(hit, rxs[i], zero)
+            ay = ay + jnp.where(hit, rys[i], zero)
+        srx.append(ax)
+        sry.append(ay)
 
-    # shoelace with wrap at n_valid: next index = (r + 1) mod n_valid
-    r_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (_NCAND,) + (1,) * (key.ndim - 1), 0).astype(px.dtype)
-    nxt_is_zero = (r_ids + 1.0) >= n_valid[None]
-    # gather "next" via roll (r+1) and replace the wrap slot with slot 0
-    nrx = jnp.where(nxt_is_zero, srx[0][None], jnp.roll(srx, -1, axis=0))
-    nry = jnp.where(nxt_is_zero, sry[0][None], jnp.roll(sry, -1, axis=0))
-    crs = srx * nry - sry * nrx
-    area = 0.5 * jnp.abs(jnp.sum(crs * smf, axis=0))
+    # shoelace over the first n_valid sorted slots, wrapping back to slot 0
+    area2 = zero
+    for r in range(_NCAND):
+        in_poly = (float(r) < n_valid)
+        wrap = (float(r) + 1.0) >= n_valid
+        nx = jnp.where(wrap, srx[0], srx[(r + 1) % _NCAND])
+        ny = jnp.where(wrap, sry[0], sry[(r + 1) % _NCAND])
+        crs = srx[r] * ny - sry[r] * nx
+        area2 = area2 + jnp.where(in_poly, crs, zero)
+    area = 0.5 * jnp.abs(area2)
     return jnp.where(n_valid >= 3.0, area, 0.0)
 
 
@@ -221,7 +237,7 @@ def _prepare_aos(boxes: jnp.ndarray, pad_to: int) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("block_n", "block_m",
                                              "interpret"))
 def skew_iou_matrix_pallas(a: jnp.ndarray, b: jnp.ndarray,
-                           block_n: int = 8, block_m: int = 128,
+                           block_n: int = 32, block_m: int = 128,
                            interpret: bool = False) -> jnp.ndarray:
     """Exact pairwise skew-IoU matrix (N, 5) x (M, 5) -> (N, M) on TPU.
 

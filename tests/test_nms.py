@@ -148,3 +148,32 @@ def test_nms_approx_top_k_path():
     assert d1.shape == d2.shape
     # small-N approx_max_k is exact: results match the exact path
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+
+
+def test_fused_nms_matches_decode_all_path():
+    """Score-first fused NMS == decode_all + classic NMS on the same raw
+    heads (exact top-k on both sides)."""
+    import os
+    from rotate_yolov3_tpu.config.parse import parse_model_cfg
+    from rotate_yolov3_tpu.models import (apply_network, build_network,
+                                          decode_all, init_params)
+    from rotate_yolov3_tpu.ops.rotated_nms import non_max_suppression_fused
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = build_network(
+        parse_model_cfg(os.path.join(root, "cfg/yolov3-rotate-tiny.cfg")),
+        img_size=96)
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 96, 96, 3))
+    heads, _ = apply_network(spec, params, state, x, train=False)
+    heads = [h.astype(jnp.float32) for h in heads]
+
+    pred = decode_all(heads, spec.yolo_specs)
+    d_ref, m_ref = non_max_suppression(pred, conf_thres=0.2, nms_thres=0.4,
+                                       max_det=32)
+    d_fused, m_fused = non_max_suppression_fused(
+        heads, spec.yolo_specs, conf_thres=0.2, nms_thres=0.4, max_det=32,
+        approx_top_k=False)
+    np.testing.assert_array_equal(np.asarray(m_ref), np.asarray(m_fused))
+    np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_fused),
+                               rtol=1e-5, atol=1e-5)

@@ -17,12 +17,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config.parse import parse_model_cfg
-from .models.darknet import (NetworkSpec, apply_fused, apply_network,
-                             build_network, fuse_bn, init_params)
+from .models.darknet import (NetworkSpec, apply_fused, build_network,
+                             fuse_bn, init_params)
 from .models.weights_io import load_darknet_weights
 from .models.yolo_head import decode_all
-from .ops.rotated_nms import (non_max_suppression,
-                              non_max_suppression_fused)
+from .ops.rotated_nms import non_max_suppression_fused
 
 
 class Detector:

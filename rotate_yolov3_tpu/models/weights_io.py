@@ -26,7 +26,7 @@ from typing import Dict, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .darknet import ConvSpec, NetworkSpec, _layer_key
+from .darknet import NetworkSpec, _layer_key
 
 _HEADER_DTYPE = np.int32
 _HEADER_LEN = 5

@@ -25,7 +25,7 @@ backbone into a single XLA program (SURVEY.md §3.4: "trivially XLA-fusable").
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

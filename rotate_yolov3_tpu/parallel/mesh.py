@@ -15,7 +15,6 @@ Works identically on real TPU slices and on the virtual CPU mesh
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

@@ -22,14 +22,14 @@ one batched tensor program:
 
 from __future__ import annotations
 
-from typing import Dict, List, NamedTuple, Sequence
+from typing import List, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..models.darknet import YoloSpec
-from ..models.yolo_head import ANGLE_RANGE, head_anchors
+from ..models.yolo_head import head_anchors
 from ..ops.boxes import normalize_angle
 
 

@@ -14,7 +14,7 @@ shard_map-compatible (psum-friendly scalar outputs).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ resume") plus ``.weights`` export for cross-framework interchange.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 from typing import Any, Callable, Dict, Optional, Tuple
 

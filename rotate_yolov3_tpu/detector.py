@@ -101,11 +101,18 @@ class Detector:
         images = jnp.asarray(images)
         if images.ndim == 3:
             images = images[None]
+        if not hasattr(self, "_predict_raw_jit"):
+            spec, dtype = self.spec, self.compute_dtype
 
-        x = images.astype(self.compute_dtype) / 255.0
-        heads = apply_fused(self.spec, self.fused_params, x)
-        heads = [h.astype(jnp.float32) for h in heads]
-        return decode_all(heads, self.spec.yolo_specs)
+            @jax.jit
+            def _raw(fused_params, imgs):
+                x = imgs.astype(dtype) / 255.0
+                heads = apply_fused(spec, fused_params, x)
+                heads = [h.astype(jnp.float32) for h in heads]
+                return decode_all(heads, spec.yolo_specs)
+
+            self._predict_raw_jit = _raw
+        return self._predict_raw_jit(self.fused_params, images)
 
 
 def detections_to_numpy(dets, mask):

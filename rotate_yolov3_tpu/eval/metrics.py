@@ -10,10 +10,29 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
-from ..ops.skew_iou import skew_iou_matrix
+
+def _cross_iou_host(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact (K, G) rotated-IoU matrix on the HOST.
+
+    Matching shapes are ragged per image; a jitted device matrix would
+    recompile for every new (K, G) pair (minutes each through the remote
+    compiler), so this uses the native C++ polyiou, with a jnp fallback.
+    """
+    try:
+        from ..native import polyiou_native
+
+        from ..data.dota.formats import rbox_to_poly
+        qa = np.stack([rbox_to_poly(*r[:5]) for r in a])
+        qb = np.stack([rbox_to_poly(*r[:5]) for r in b])
+        return polyiou_native.quad_iou_matrix(qa, qb)
+    except Exception:
+        import jax.numpy as jnp
+
+        from ..ops.skew_iou import skew_iou_matrix
+        return np.asarray(skew_iou_matrix(jnp.asarray(a[:, :5]),
+                                          jnp.asarray(b[:, :5])))
 
 
 def match_image(dets: np.ndarray, gts: np.ndarray, gt_cls: np.ndarray,
@@ -30,8 +49,7 @@ def match_image(dets: np.ndarray, gts: np.ndarray, gt_cls: np.ndarray,
     tp = np.zeros(k, bool)
     if k == 0 or g == 0:
         return tp
-    iou = np.asarray(skew_iou_matrix(jnp.asarray(dets[:, :5]),
-                                     jnp.asarray(gts)))
+    iou = _cross_iou_host(dets, gts)
     used = np.zeros(g, bool)
     det_cls = dets[:, 6].astype(int)
     for i in range(k):

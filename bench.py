@@ -27,10 +27,23 @@ import time
 ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
+def _enable_compile_cache():
+    """Persistent compile cache: remote compiles take minutes; re-runs of
+    the same bench should not pay them twice. Safe pre-first-compile."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def bench(batch_size: int = 128, scan_iters: int = 16, trials: int = 2,
           img_size: int = 608, max_det: int = 128,
           conf_thres: float = 0.05, nms_thres: float = 0.4,
           verbose: bool = False) -> float:
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

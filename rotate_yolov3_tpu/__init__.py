@@ -23,3 +23,5 @@ Design principles (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+from .detector import Detector, detections_to_numpy  # noqa: E402,F401

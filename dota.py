@@ -72,9 +72,13 @@ def cmd_merge(opt):
     for f in sorted(os.listdir(opt.dets)):
         if not f.endswith(".txt"):
             continue
-        arr = np.loadtxt(os.path.join(opt.dets, f), ndmin=2)
-        if arr.size == 0:
+        path = os.path.join(opt.dets, f)
+        if os.path.getsize(path) == 0:
             arr = np.zeros((0, 7), np.float32)
+        else:
+            arr = np.loadtxt(path, ndmin=2)
+            if arr.size == 0:
+                arr = np.zeros((0, 7), np.float32)
         tile_dets[os.path.splitext(f)[0]] = arr.astype(np.float32)
     merged = merge_tile_detections(tile_dets, nms_thres=opt.nms_thres)
     write_task1_results(merged, names, opt.out)

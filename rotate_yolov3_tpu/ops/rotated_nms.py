@@ -17,9 +17,11 @@ dynamic shapes, so here every stage is fixed-shape:
      sorted by score, plus a validity mask — bit-equivalent in content to
      the reference's sorted list-of-boxes, just padded.
 
-Class-aware suppression uses the class-offset trick: box centers are
-translated by ``class_id * offset`` so boxes of different classes can never
-overlap — one NMS pass instead of a per-class Python loop.
+Class-aware suppression zeroes cross-class entries of the IoU matrix
+(``cls_i != cls_j -> IoU 0``) — one NMS pass instead of a per-class Python
+loop, with the boxes untouched. (The earlier class-offset coordinate trick
+translated centers by ``class_id * 1e5``, where fp32 ulp is ~0.125 px — a
+real precision hazard at high class ids; the mask is exact and free.)
 """
 
 from __future__ import annotations
@@ -30,8 +32,13 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-# translation applied per class id so cross-class pairs have IoU 0
-_CLASS_OFFSET = 1e5
+
+def _class_masked_iou(iou_matrix_fn: Callable, boxes: jnp.ndarray,
+                      cls_id: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU with cross-class pairs zeroed (class-aware NMS)."""
+    iou = iou_matrix_fn(boxes, boxes)
+    same = cls_id[:, None] == cls_id[None, :]
+    return jnp.where(same, iou, 0.0)
 
 
 def greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,
@@ -93,10 +100,7 @@ def _nms_single(pred: jnp.ndarray, conf_thres: float, nms_thres: float,
     # zero out padding boxes -> zero-area -> IoU 0 with everything
     top_boxes = jnp.where(valid[:, None], top_boxes, 0.0)
 
-    # class-offset trick: translate centers per class id
-    shifted = top_boxes.at[:, 0].add(top_cls.astype(top_boxes.dtype)
-                                     * _CLASS_OFFSET)
-    iou = iou_matrix_fn(shifted, shifted)
+    iou = _class_masked_iou(iou_matrix_fn, top_boxes, top_cls)
     keep = greedy_suppress(iou, valid, nms_thres)
 
     out = jnp.concatenate(
@@ -171,22 +175,20 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
         cls_id = jnp.zeros(rows.shape[:2], jnp.int32)
     valid = top_scores > jnp.maximum(conf_thres, 0.0)
     boxes = jnp.where(valid[..., None], boxes, 0.0)
-    shifted = boxes.at[..., 0].add(cls_id.astype(boxes.dtype)
-                                   * _CLASS_OFFSET)
 
     if iou_matrix_fn is None:
         from .skew_iou_pallas import skew_iou_matrix_auto
         iou_matrix_fn = skew_iou_matrix_auto
 
-    def one(shifted_b, boxes_b, scores_b, cls_b, valid_b):
-        iou = iou_matrix_fn(shifted_b, shifted_b)
+    def one(boxes_b, scores_b, cls_b, valid_b):
+        iou = _class_masked_iou(iou_matrix_fn, boxes_b, cls_b)
         keep = greedy_suppress(iou, valid_b, nms_thres)
         out = jnp.concatenate(
             [boxes_b, scores_b[:, None],
              cls_b[:, None].astype(boxes_b.dtype)], axis=-1)
         return jnp.where(keep[:, None], out, 0.0), keep
 
-    out, keep = jax.vmap(one)(shifted, boxes, top_scores, cls_id, valid)
+    out, keep = jax.vmap(one)(boxes, top_scores, cls_id, valid)
     if k < max_det:
         out = jnp.pad(out, ((0, 0), (0, max_det - k), (0, 0)))
         keep = jnp.pad(keep, ((0, 0), (0, max_det - k)))

@@ -107,6 +107,42 @@ def test_nms_multiclass_no_cross_class_suppression():
     assert np.asarray(mask2[0]).sum() == 1
 
 
+def test_nms_multiclass_high_class_ids_match_per_class_oracle():
+    """15-class (DOTA-scale) NMS at 608-px coordinates must match a
+    per-class numpy oracle exactly — the regression test for the old
+    class-offset coordinate trick, whose 1e5*cls translation pushed centers
+    to ~1.5e6 where fp32 ulp is 0.125 px and near-threshold IoUs flipped."""
+    rng = np.random.default_rng(7)
+    n, nc = 96, 15
+    boxes = np.stack([
+        rng.uniform(500, 608, n), rng.uniform(500, 608, n),
+        rng.uniform(5, 40, n), rng.uniform(5, 40, n),
+        rng.uniform(-np.pi / 2, np.pi / 2, n)], axis=1).astype(np.float32)
+    scores = rng.uniform(0.3, 1.0, n).astype(np.float32)
+    cls_id = rng.integers(0, nc, n)
+    onehot = np.zeros((n, nc), np.float32)
+    onehot[np.arange(n), cls_id] = 1.0
+    pred = _make_pred(boxes, scores, onehot)
+
+    dets, mask = non_max_suppression(jnp.asarray(pred[None]),
+                                     conf_thres=0.25, nms_thres=0.3,
+                                     max_det=n)
+    got = np.asarray(dets[0])[np.asarray(mask[0])]
+
+    # oracle: per-class greedy NMS, concatenated
+    kept = []
+    for c in range(nc):
+        sel = np.nonzero(cls_id == c)[0]
+        if not len(sel):
+            continue
+        k = greedy_rotated_nms_np(boxes[sel], scores[sel], 0.3)
+        kept.extend(sel[k].tolist())
+    kept = sorted(kept, key=lambda i: -scores[i])
+    assert len(got) == len(kept)
+    np.testing.assert_allclose(got[:, :5], boxes[kept], atol=1e-4)
+    np.testing.assert_array_equal(got[:, 6].astype(int), cls_id[kept])
+
+
 def test_nms_conf_threshold_empties():
     rng = np.random.default_rng(3)
     n = 10

@@ -43,15 +43,13 @@ def make_parallel_train_step(train_step: Callable, mesh: Mesh) -> Callable:
     to this mesh axis. Batch inputs are sharded along their leading axis;
     the train state is fully replicated.
     """
-    from jax.experimental.shard_map import shard_map
-
     replicated = P()
     sharded = P(DATA_AXIS)
-    fn = shard_map(
+    fn = jax.shard_map(
         train_step, mesh=mesh,
         in_specs=(replicated, sharded, sharded, sharded),
         out_specs=(replicated, replicated),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)
 
 

@@ -35,9 +35,20 @@ def evaluate_dataset(detector, list_path: str, batch_size: int = 8,
     stats = []
     n_done = 0
     for imgs, tgts, valid in ds:
+        # Pad a ragged final batch to batch_size by repeating its last
+        # sample (the loaders.batched trick): a smaller batch would be a new
+        # jit shape for the detector -> a minutes-long remote recompile on
+        # TPU (CLAUDE.md rule 6). Stats below only consume the n_real rows.
+        n_real = len(imgs)
+        if n_real < batch_size:
+            imgs, tgts, valid = (
+                np.concatenate(
+                    [a, np.repeat(a[-1:], batch_size - n_real, axis=0)],
+                    axis=0)
+                for a in (imgs, tgts, valid))
         dets, mask = detector(jnp.asarray(imgs))
         per_image = detections_to_numpy(dets, mask)
-        for b in range(len(imgs)):
+        for b in range(n_real):
             if max_images is not None and n_done >= max_images:
                 break
             n_done += 1
@@ -50,7 +61,10 @@ def evaluate_dataset(detector, list_path: str, batch_size: int = 8,
             stats.append((tp, d[:, 5], d[:, 6].astype(int), gt_cls))
         if max_images is not None and n_done >= max_images:
             break
-    return summarize(stats, names=names, method=method)
+    result = summarize(stats, names=names, method=method)
+    result["n_images"] = n_done
+    result["n_gt"] = int(sum(len(s[3]) for s in stats))
+    return result
 
 
 def print_eval_table(result: Dict[str, object]) -> None:

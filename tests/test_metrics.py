@@ -85,3 +85,34 @@ def test_summarize_end_to_end():
 
 def test_summarize_empty():
     assert summarize([])["map"] == 0.0
+
+
+def test_evaluate_dataset_ragged_tail_single_compile(tmp_path):
+    """A val set with n % batch_size != 0 must NOT trigger a second jit
+    compile of the detector (the ragged-final-batch remote-recompile trap,
+    CLAUDE.md rule 6): the evaluator pads the tail batch and trims stats."""
+    import os
+
+    from rotate_yolov3_tpu.data.synthetic import make_synthetic_dataset
+    from rotate_yolov3_tpu.detector import Detector
+    from rotate_yolov3_tpu.eval.evaluator import evaluate_dataset
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tiny = os.path.join(root, "cfg/yolov3-rotate-tiny.cfg")
+    list_path = make_synthetic_dataset(str(tmp_path), n_images=5,
+                                       img_size=(96, 96), seed=3)
+    det = Detector(tiny, img_size=96, conf_thres=0.2, max_det=16)
+    result = evaluate_dataset(det, list_path, batch_size=4, names=["obj"])
+    # 5 images at bs=4 -> batches of 4 and 1(padded to 4); one compile only
+    assert det._infer._cache_size() == 1
+    # all 5 real images contribute stats; the 3 pad replicas do not
+    assert result["n_images"] == 5
+    # GT count matches the label files exactly (pad replicas would inflate)
+    n_gt = 0
+    with open(list_path) as f:
+        for img in f.read().split():
+            lbl = img.replace("/images/", "/labels/").rsplit(".", 1)[0] + ".txt"
+            with open(lbl) as lf:
+                n_gt += sum(1 for ln in lf if ln.strip())
+    assert result["n_gt"] == n_gt
+    assert len(result["per_class"]) == 1

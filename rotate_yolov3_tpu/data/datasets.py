@@ -6,7 +6,8 @@ conventions — a train.txt listing image paths, per-image label ``.txt`` files
 with normalized ``cls x y w h theta`` rows, found by the images->labels path
 substitution — but emits **fixed-shape** batches for jit:
 
-    imgs   (B, S, S, 3) uint8
+    imgs   (B, S, S, 3) uint8 — RGB (converted from cv2 BGR post-augment,
+           matching the reference lineage's net-input channel order)
     targets(B, MAX_GT, 6) float32, zero-padded
     valid  (B, MAX_GT) bool
 
@@ -114,7 +115,10 @@ class LoadImagesAndLabels:
                 hyp.shear, rng)
             if rng.random() < 0.5:
                 img, labels = flip_lr(img, labels)
-        return img, labels
+        # BGR -> RGB last, after the cv2-based augmentations — the reference
+        # lineage feeds RGB to the net (its __getitem__ flips channels at the
+        # end), so .weights interop requires the same channel order here.
+        return np.ascontiguousarray(img[..., ::-1]), labels
 
     def _pad_targets(self, labels: np.ndarray
                      ) -> Tuple[np.ndarray, np.ndarray]:

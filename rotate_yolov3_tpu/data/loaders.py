@@ -4,6 +4,10 @@ The reference's ``LoadImages`` (+``LoadWebcam``) iterate a source path and
 yield letterboxed tensors for detect.py (SURVEY.md §2 "inference loaders").
 This version additionally supports fixed-size batching so the jitted
 detector compiles once.
+
+Channel order: the letterboxed net input is RGB (converted from cv2's BGR
+at the end of the load, like the reference lineage — required for .weights
+interop); the original image stays BGR for cv2 drawing/writing.
 """
 
 from __future__ import annotations
@@ -55,6 +59,7 @@ class LoadWebcam:
             if not ok:
                 break
             boxed, ratio, pad = letterbox(img0, self.img_size)
+            boxed = np.ascontiguousarray(boxed[..., ::-1])   # BGR -> RGB
             yield f"webcam#{n}", boxed, img0, ratio, pad
             n += 1
         self.cap.release()
@@ -85,6 +90,7 @@ class LoadImages:
                     if not ok:
                         break
                     boxed, ratio, pad = letterbox(img0, self.img_size)
+                    boxed = np.ascontiguousarray(boxed[..., ::-1])
                     yield f"{path}#frame{fidx}", boxed, img0, ratio, pad
                     fidx += 1
                 cap.release()
@@ -93,6 +99,7 @@ class LoadImages:
                 if img0 is None:
                     raise IOError(f"failed to read {path}")
                 boxed, ratio, pad = letterbox(img0, self.img_size)
+                boxed = np.ascontiguousarray(boxed[..., ::-1])   # BGR -> RGB
                 yield path, boxed, img0, ratio, pad
 
 

@@ -142,3 +142,24 @@ def test_loader_label_geometry_consistency(tmp_path):
         for t in tgts[b][valid[b]]:
             cx, cy = int(t[1] * 160), int(t[2] * 160)
             assert imgs[b, cy, cx].max() > 100, (b, t)
+
+
+def test_dataset_net_input_is_rgb(tmp_path):
+    """LoadImagesAndLabels batches are RGB (converted from cv2 BGR)."""
+    import cv2
+
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[..., 0] = 200                      # blue in BGR
+    cv2.imwrite(str(img_dir / "b.png"), img)
+    (lbl_dir / "b.txt").write_text("0 0.5 0.5 0.2 0.1 0.0\n")
+    lst = tmp_path / "list.txt"
+    lst.write_text(str(img_dir / "b.png") + "\n")
+
+    ds = LoadImagesAndLabels(str(lst), img_size=64, batch_size=1,
+                             augment=False, prefetch=0)
+    imgs, tgts, valid = next(iter(ds))
+    assert imgs[0, 32, 32, 2] == 200 and imgs[0, 32, 32, 0] == 0   # RGB

@@ -64,3 +64,20 @@ def test_batched_pads_last():
 def test_webcam_bad_source():
     with pytest.raises(IOError):
         LoadWebcam("99", img_size=64)   # no camera hardware here
+
+
+def test_load_images_net_input_is_rgb(tmp_path):
+    """cv2 reads BGR; the net input must be RGB (reference-lineage channel
+    order — .weights interop breaks silently otherwise)."""
+    import cv2
+
+    # solid red image: BGR on disk = (0, 0, 255)
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[..., 2] = 255
+    p = str(tmp_path / "red.png")
+    cv2.imwrite(p, img)
+    from rotate_yolov3_tpu.data.loaders import LoadImages
+
+    path, boxed, img0, ratio, pad = next(iter(LoadImages(p, img_size=64)))
+    assert boxed[32, 32, 0] == 255 and boxed[32, 32, 2] == 0   # RGB
+    assert img0[32, 32, 2] == 255 and img0[32, 32, 0] == 0     # img0 stays BGR

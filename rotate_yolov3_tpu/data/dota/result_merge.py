@@ -36,8 +36,12 @@ def merge_tile_detections(
             continue
         base, scale, x0, y0 = parse_tile_name(tname)
         d = np.asarray(dets, np.float32).copy()
-        d[:, 0] = d[:, 0] / scale + x0
-        d[:, 1] = d[:, 1] / scale + y0
+        # Devkit semantics: in 'base__scale__x___y' the origin (x0, y0) is
+        # in RESIZED-image coordinates, so tile->source is
+        # (coord + origin) / scale (ResultMerge poly2origpoly), NOT
+        # coord/scale + origin.
+        d[:, 0] = (d[:, 0] + x0) / scale
+        d[:, 1] = (d[:, 1] + y0) / scale
         d[:, 2] /= scale
         d[:, 3] /= scale
         per_image[base].append(d)

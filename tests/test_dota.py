@@ -114,6 +114,29 @@ def test_merge_shifts_and_nms():
     np.testing.assert_allclose(out[0, :2], [900, 500], atol=0.5)
 
 
+def test_merge_scaled_tiles_map_to_source_coords():
+    """Devkit 'base__scale__x___y' semantics: (x0, y0) is the tile origin in
+    the RESIZED image, so tile->source is (coord + origin) / scale. A 0.5x
+    tile set must land detections at the same source position as a 1x set."""
+    # source-image object at (900, 500), size 40x20
+    det_1x = np.array([[76, 500, 40, 20, 0.3, 0.8, 0]], np.float32)
+    merged_1x = merge_tile_detections(
+        {tile_name("P3", 824, 0, scale=1.0): det_1x}, 0.3)
+    # same object seen in a 0.5x-resized split: resized coords are halved;
+    # tile origin (412, 0) is in resized coords, in-tile center (38, 250)
+    det_05 = np.array([[38, 250, 20, 10, 0.3, 0.8, 0]], np.float32)
+    merged_05 = merge_tile_detections(
+        {tile_name("P3", 412, 0, scale=0.5): det_05}, 0.3)
+    np.testing.assert_allclose(merged_05["P3"][0, :5],
+                               merged_1x["P3"][0, :5], atol=1e-4)
+    np.testing.assert_allclose(merged_1x["P3"][0, :2], [900, 500], atol=1e-4)
+    # multi-scale: both tile sets together merge to ONE detection
+    both = merge_tile_detections(
+        {tile_name("P3", 824, 0, scale=1.0): det_1x,
+         tile_name("P3", 412, 0, scale=0.5): det_05}, nms_thres=0.3)
+    assert len(both["P3"]) == 1
+
+
 def test_merge_keeps_distinct_and_classes():
     d = np.array([[100, 100, 40, 20, 0.0, 0.9, 0],
                   [100, 100, 40, 20, 0.0, 0.8, 1]], np.float32)

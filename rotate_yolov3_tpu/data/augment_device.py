@@ -152,23 +152,43 @@ def _rotate_labels(targets, valid, phi, s, size):
 # jnp.roll's, each applied per-row through an elementwise select on the
 # shift's binary digits. Fractional parts are a 2-tap lerp (one more roll).
 # Out-of-frame pixels are masked to the pad value from exact source bounds.
+# The roll budget (bit count) is derived STATICALLY from the image size and
+# the max rotation magnitude, so any (size, degrees) combination is covered
+# by construction — a fixed budget would silently wrap large shifts.
 # ---------------------------------------------------------------------------
 
-_SHIFT_BITS = 9          # supports |shift| < 256 px (|phi| <= 45deg @ 608)
-_SHIFT_BIAS = 1 << (_SHIFT_BITS - 1)
+
+def _rotation_shift_bits(size: int, degrees: float) -> int:
+    """Static roll budget covering the worst-case shear shift.
+
+    ``_shear`` represents floor(shift) + bias in ``bits`` binary digits
+    (bias = 2^(bits-1)); coverage needs bias >= max|shift| + 1. For a
+    rotation by |phi| <= degrees about the center of a size^2 image the
+    shear shifts are bounded by max(tan(phi/2), sin(phi)) * (size-1)/2.
+    The shear path only ever sees residual angles <= 45 deg (the quadrant
+    part of a larger rotation is an exact rot90, see ``_warp_rotate``).
+    """
+    if not 0.0 <= degrees <= 45.0:
+        raise ValueError(
+            f"shear residual must be within [0, 45] deg, got {degrees}")
+    rad = math.radians(degrees)
+    max_shift = max(math.tan(rad / 2.0), math.sin(rad)) * (size - 1) / 2.0
+    return max(1, math.ceil(math.log2(max_shift + 2.0)) + 1)
 
 
 def _shear(img: jnp.ndarray, shift: jnp.ndarray, axis: int,
-           pad_value: float) -> jnp.ndarray:
+           pad_value: float, bits: int) -> jnp.ndarray:
     """Shift img (H, W, C) along ``axis`` by per-orthogonal-line amounts.
 
-    shift: (S,) float — shift[i] applied to line i of the OTHER axis.
+    shift: (S,) float — shift[i] applied to line i of the OTHER axis;
+    |shift| must be < 2^(bits-1) - 1 (see ``_rotation_shift_bits``).
     out[y, x] = in[y, x - shift[y]] for axis=1 (bilinear, edge-padded).
     """
     size = img.shape[axis]
+    bias = 1 << (bits - 1)
     f = jnp.floor(shift)
     t = (shift - f).astype(img.dtype)                    # (S,)
-    fi = f.astype(jnp.int32) + _SHIFT_BIAS               # non-negative
+    fi = f.astype(jnp.int32) + bias                      # non-negative
 
     if axis == 1:
         t_b = t[:, None, None]
@@ -186,10 +206,10 @@ def _shear(img: jnp.ndarray, shift: jnp.ndarray, axis: int,
         inb = ((src >= 0) & (src <= size - 1))[:, :, None]
 
     # integer part: out[x] = in[x - floor(shift)] — roll content by
-    # +floor(shift) = -BIAS + fi, realised as one -BIAS roll then +2^k per
+    # +floor(shift) = -bias + fi, realised as one -bias roll then +2^k per
     # set bit of fi (per line, via elementwise select)
-    x = jnp.roll(img, -_SHIFT_BIAS, axis=axis)
-    for bit in range(_SHIFT_BITS):
+    x = jnp.roll(img, -bias, axis=axis)
+    for bit in range(bits):
         x = jnp.where(line_mask(bit), jnp.roll(x, 1 << bit, axis=axis), x)
     # fractional part: lerp with in[x - floor - 1] = roll(+1) of the above
     x_next = jnp.roll(x, 1, axis=axis)
@@ -210,18 +230,48 @@ def rotate_shear(key, img: jnp.ndarray, targets: jnp.ndarray,
     size = img.shape[0]
     phi = jax.random.uniform(key, (), minval=-degrees, maxval=degrees) \
         * (math.pi / 180.0)
-    c = (size - 1) / 2.0
-    lines = jnp.arange(size, dtype=jnp.float32) - c
-    # image-space (y down) rotation by phi == math rotation by -phi;
-    # shears below realise the inverse warp so content rotates by +phi
-    a = -jnp.tan(phi / 2.0)
-    b = jnp.sin(phi)
-    out = _shear(img, a * lines, axis=1, pad_value=pad_value)
-    out = _shear(out, b * lines, axis=0, pad_value=pad_value)
-    out = _shear(out, a * lines, axis=1, pad_value=pad_value)
+    # the shear stage only ever sees the <=45-deg residual of phi (the
+    # quadrant part is an exact rot90 inside _warp_rotate), so the static
+    # roll budget is capped at 45 deg regardless of the requested range
+    bits = _rotation_shift_bits(size, min(degrees, 45.0))
+    out = _warp_rotate(img, phi, bits, pad_value)
     new_t, new_valid = _rotate_labels(targets, valid, phi,
                                       jnp.float32(1.0), size)
     return out, new_t, new_valid
+
+
+def _warp_rotate(img: jnp.ndarray, phi: jnp.ndarray, bits: int,
+                 pad_value: float) -> jnp.ndarray:
+    """Rotate one (S, S, C) image by ``phi`` radians about its center.
+
+    phi is decomposed into an exact quadrant turn (rot90 — pure layout, no
+    resampling, no frame clipping) plus a residual in [-45, 45] deg realised
+    by three shears. Keeping the shear part <= 45 deg both bounds the roll
+    budget and bounds the content that temporarily leaves the fixed canvas
+    between shears (the corner regions it can clip are ones a true rotation
+    evicts anyway).
+    """
+    size = img.shape[0]
+    half_pi = math.pi / 2.0
+    k = jnp.round(phi / half_pi).astype(jnp.int32)
+    r = phi - k.astype(jnp.float32) * half_pi            # [-45, 45] deg
+    # content rotation by k*90deg in image space (y down): +90deg maps
+    # (x, y) -> (-y, x), i.e. B[i, j] = A[S-1-j, i] = jnp.rot90(A, 3)
+    img = jax.lax.switch(k % 4, [
+        lambda a: a,
+        lambda a: jnp.rot90(a, 3),
+        lambda a: jnp.rot90(a, 2),
+        lambda a: jnp.rot90(a, 1),
+    ], img)
+    c = (size - 1) / 2.0
+    lines = jnp.arange(size, dtype=jnp.float32) - c
+    # image-space (y down) rotation by r == math rotation by -r;
+    # shears below realise the inverse warp so content rotates by +r
+    a = -jnp.tan(r / 2.0)
+    b = jnp.sin(r)
+    out = _shear(img, a * lines, axis=1, pad_value=pad_value, bits=bits)
+    out = _shear(out, b * lines, axis=0, pad_value=pad_value, bits=bits)
+    return _shear(out, a * lines, axis=1, pad_value=pad_value, bits=bits)
 
 
 def mosaic(key, imgs: jnp.ndarray, targets: jnp.ndarray, valid: jnp.ndarray,

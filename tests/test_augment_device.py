@@ -172,3 +172,56 @@ def test_rotate_shear_matches_gather_rotation():
     # interior pixels roughly agree in brightness statistics
     g, s = np.asarray(out_g), np.asarray(out_s)
     assert abs(g.mean() - s.mean()) < 0.1
+
+
+def test_rotate_shear_large_angle_large_image_no_wrap():
+    """The roll budget is derived from (size, degrees): a 75-deg rotation of
+    a 608px image needs shifts up to ~293 px, which the old fixed 9-bit
+    budget (|shift| < 256) silently wrapped, corrupting the warp."""
+    from rotate_yolov3_tpu.data.augment_device import (_rotation_shift_bits,
+                                                       _warp_rotate)
+
+    size = 608
+    # 45-deg residual at 608 px needs shifts up to sin(45)*303.5 = 215 px ->
+    # 9 bits is marginal (bias 256 covers it); at size 1216 it needs 10
+    assert _rotation_shift_bits(1216, 45.0) >= 10
+    # bright square blob off-center; rotate by a fixed phi and check it
+    # lands at the exact rotated position (and nowhere else)
+    img = np.zeros((size, size, 1), np.float32)
+    img[80:120, 440:480] = 1.0                 # center (460, 100)
+    phi = np.radians(72.0)
+    out = np.asarray(_warp_rotate(jnp.asarray(img), jnp.float32(phi),
+                                  _rotation_shift_bits(size, 45.0),
+                                  pad_value=0.0))
+    c = (size - 1) / 2.0
+    x, y = 460 - c, 100 - c
+    nx = np.cos(phi) * x - np.sin(phi) * y + c
+    ny = np.sin(phi) * x + np.cos(phi) * y + c
+    assert out[int(round(ny)), int(round(nx)), 0] > 0.5
+    # total mass preserved within resampling loss; no wrapped duplicates
+    assert 0.5 * img.sum() < out.sum() < 1.5 * img.sum()
+    assert out[80:120, 440:480].max() < 0.2    # original spot now empty
+
+
+def test_rotation_shift_bits_rejects_out_of_range():
+    from rotate_yolov3_tpu.data.augment_device import _rotation_shift_bits
+
+    with pytest.raises(ValueError, match="45"):
+        _rotation_shift_bits(608, 95.0)
+
+
+def test_rotate_shear_full_circle():
+    """degrees > 45 works via the rot90-quadrant + shear-residual split:
+    labels stay on bright pixels for arbitrary rotations."""
+    from rotate_yolov3_tpu.data.augment_device import rotate_shear
+
+    img, t, v = _img_with_box(size=96, cx=0.6, cy=0.4, w=0.3, h=0.15)
+    for seed in range(6):
+        out, nt, nv = rotate_shear(jax.random.PRNGKey(seed),
+                                   jnp.asarray(img), jnp.asarray(t),
+                                   jnp.asarray(v), degrees=180.0)
+        out, nt, nv = np.asarray(out), np.asarray(nt), np.asarray(nv)
+        if not nv[0]:
+            continue                       # rotated out of frame: fine
+        cx, cy = int(nt[0, 1] * 96), int(nt[0, 2] * 96)
+        assert out[cy, cx].max() > 0.4, (seed, nt[0])

@@ -305,11 +305,19 @@ def _apply_conv(layer: ConvSpec, p: Dict, s: Optional[Dict], x: jnp.ndarray,
                 mean = jax.lax.pmean(mean, axis_name)
                 msq = jax.lax.pmean(msq, axis_name)
             var = msq - jnp.square(mean)
+            # torch BatchNorm2d parity: normalisation uses the biased batch
+            # variance (var above) but running_var accumulates the UNBIASED
+            # n/(n-1) variance; n counts every element behind the channel
+            # reduction, across the sync axis when present.
+            n = float(y.shape[0] * y.shape[1] * y.shape[2])
+            if axis_name is not None:
+                n = n * jax.lax.psum(1.0, axis_name)
+            unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
             new_state = {
                 "bn_mean": ((1 - _BN_UPDATE) * s["bn_mean"]
                             + _BN_UPDATE * mean),
                 "bn_var": ((1 - _BN_UPDATE) * s["bn_var"]
-                           + _BN_UPDATE * var),
+                           + _BN_UPDATE * unbiased),
             }
         else:
             mean = s["bn_mean"].astype(jnp.float32)

@@ -115,3 +115,43 @@ def test_jax_vs_torch_forward(tmp_path, img_size):
         ht = ht.detach().numpy().transpose(0, 2, 3, 1)
         assert hj.shape == ht.shape
         np.testing.assert_allclose(hj, ht, rtol=2e-4, atol=2e-4)
+
+
+def test_train_mode_bn_running_stats_match_torch():
+    """Train-mode BN parity: torch BatchNorm2d normalises with the biased
+    batch variance but stores the UNBIASED (n/(n-1)) variance in
+    running_var; our running stats must match so checkpoints round-tripped
+    through training keep torch semantics."""
+    import jax
+    import jax.numpy as jnp
+
+    from rotate_yolov3_tpu.models import apply_network
+
+    spec = build_network(parse_model_cfg(TINY), img_size=32)
+    params, state = init_params(spec, jax.random.PRNGKey(3))
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    _, new_state = apply_network(spec, params, state, jnp.asarray(img),
+                                 train=True)
+
+    # torch: same first conv + BatchNorm2d, one train-mode step
+    layer = spec.conv_specs[0]
+    key = f"layer_{layer.index:03d}"
+    w = np.asarray(params[key]["kernel"]).transpose(3, 2, 0, 1)  # HWIO->OIHW
+    y = torch.nn.functional.conv2d(
+        torch.from_numpy(img.transpose(0, 3, 1, 2)),
+        torch.from_numpy(w.copy()), stride=layer.stride,
+        padding=layer.size // 2)
+    bn = torch.nn.BatchNorm2d(layer.out_c, eps=1e-5, momentum=0.1)
+    with torch.no_grad():
+        bn.weight.copy_(torch.from_numpy(np.asarray(params[key]["bn_scale"])))
+        bn.bias.copy_(torch.from_numpy(np.asarray(params[key]["bn_bias"])))
+    bn.train()
+    bn(y)
+    np.testing.assert_allclose(np.asarray(new_state[key]["bn_mean"]),
+                               bn.running_mean.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_state[key]["bn_var"]),
+                               bn.running_var.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)

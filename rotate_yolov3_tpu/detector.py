@@ -19,7 +19,7 @@ import numpy as np
 from .config.parse import parse_model_cfg
 from .models.darknet import (NetworkSpec, apply_fused, build_network,
                              fuse_bn, init_params)
-from .models.weights_io import load_darknet_weights
+from .models.weights_io import load_weights_file
 from .models.yolo_head import decode_all
 from .ops.rotated_nms import non_max_suppression_fused
 
@@ -64,7 +64,8 @@ class Detector:
         params, state = init_params(self.spec, jax.random.PRNGKey(seed))
         self.seen = 0
         if weights is not None:
-            params, state, self.seen = load_darknet_weights(
+            # .pt (reference torch pickle) or .weights (darknet binary)
+            params, state, self.seen = load_weights_file(
                 self.spec, params, state, weights)
         self.params, self.state = params, state
         # inference always runs BN-folded

@@ -35,8 +35,9 @@ def train(opt):
     from rotate_yolov3_tpu.eval.evaluator import (evaluate_dataset,
                                                   print_eval_table)
     from rotate_yolov3_tpu.models import (build_network, fuse_bn, init_params,
-                                          load_darknet_weights,
-                                          save_darknet_weights)
+                                          load_weights_file,
+                                          save_darknet_weights,
+                                          save_torch_pt)
     from rotate_yolov3_tpu.parallel.mesh import (
         DATA_AXIS, make_mesh, make_parallel_train_step, replicate,
         shard_batch)
@@ -55,8 +56,8 @@ def train(opt):
 
     params, state = init_params(spec, jax.random.PRNGKey(opt.seed))
     if opt.weights:
-        params, state, _ = load_darknet_weights(spec, params, state,
-                                                opt.weights)
+        params, state, _ = load_weights_file(spec, params, state,
+                                             opt.weights)
         print(f"loaded weights from {opt.weights}")
 
     # dataset
@@ -194,14 +195,20 @@ def train(opt):
 
         host_ts = jax.device_get(ts)
         save_checkpoint(ckpt_dir, host_ts, step=epoch + 1)
+        # both interchange flavors, like the reference: last/best .pt
+        # (torch pickle, its primary format) + .weights (darknet binary)
         save_darknet_weights(spec, host_ts.params, host_ts.state,
                              os.path.join(opt.out_dir, "last.weights"),
                              seen=int(host_ts.step) * opt.batch_size)
+        save_torch_pt(spec, host_ts.params, host_ts.state,
+                      os.path.join(opt.out_dir, "last.pt"), epoch=epoch)
         if mAP > best_map:
             best_map = mAP
             save_darknet_weights(spec, host_ts.params, host_ts.state,
                                  os.path.join(opt.out_dir, "best.weights"),
                                  seen=int(host_ts.step) * opt.batch_size)
+            save_torch_pt(spec, host_ts.params, host_ts.state,
+                          os.path.join(opt.out_dir, "best.pt"), epoch=epoch)
     return best_map
 
 
@@ -210,7 +217,7 @@ def make_parser():
     p.add_argument("--cfg", type=str, required=True)
     p.add_argument("--data", type=str, required=True)
     p.add_argument("--weights", type=str, default="",
-                   help="initial .weights (full or backbone-only)")
+                   help="initial .weights (full or backbone-only) or .pt")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--img-size", type=int, default=None)

@@ -41,7 +41,7 @@ def detect(opt):
     det = Detector(
         opt.cfg, weights=opt.weights or None, img_size=opt.img_size,
         conf_thres=opt.conf_thres, nms_thres=opt.nms_thres,
-        max_det=opt.max_det,
+        max_det=opt.max_det, devices=opt.devices,
         compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32)
 
     os.makedirs(opt.output, exist_ok=True)
@@ -102,6 +102,8 @@ def make_parser():
     p.add_argument("--save-txt", action="store_true")
     p.add_argument("--no-save", action="store_true",
                    help="skip writing annotated images")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard batches over N devices (0 = single)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 conv stack (faster on TPU)")
     p.add_argument("--device", type=str, default="",

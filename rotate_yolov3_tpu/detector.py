@@ -46,13 +46,17 @@ class Detector:
         precision (decode/NMS stay f32); float32 for exact parity runs.
       iou_matrix_fn: override the NMS pairwise-IoU implementation (e.g. the
         Pallas kernel from ops.skew_iou_pallas).
+      devices: shard inference batches over an N-device data-parallel mesh
+        (params replicated, batch split on its leading axis — the SURVEY §5
+        spatial/tile-parallelism analog: DOTA tiles spread across chips).
+        0/1 = single device. Batch size must be a multiple of ``devices``.
     """
 
     def __init__(self, cfg_path: str, weights: Optional[str] = None,
                  img_size: Optional[int] = None, conf_thres: float = 0.3,
                  nms_thres: float = 0.4, max_det: int = 512,
                  compute_dtype=jnp.float32, iou_matrix_fn=None,
-                 seed: int = 0):
+                 seed: int = 0, devices: int = 0):
         self.spec: NetworkSpec = build_network(
             parse_model_cfg(cfg_path), img_size=img_size)
         self.img_size = self.spec.img_size
@@ -70,6 +74,18 @@ class Detector:
         self.params, self.state = params, state
         # inference always runs BN-folded
         self.fused_params = fuse_bn(self.spec, params, state)
+
+        self.mesh = None
+        if devices and devices > 1:
+            from .parallel.mesh import make_mesh
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.mesh = make_mesh(devices)
+            self._batch_sharding = NamedSharding(self.mesh, P("data"))
+            # replicate weights across the mesh once, up front
+            self.fused_params = jax.device_put(
+                self.fused_params, NamedSharding(self.mesh, P()))
+        self.devices = devices if self.mesh is not None else 1
 
         spec = self.spec
 
@@ -95,6 +111,14 @@ class Detector:
         assert images.shape[1] == images.shape[2] == self.img_size, (
             f"expected {self.img_size}x{self.img_size} letterboxed input, "
             f"got {images.shape}; use data.letterbox first")
+        if self.mesh is not None:
+            assert images.shape[0] % self.devices == 0, (
+                f"batch {images.shape[0]} not divisible by "
+                f"{self.devices} devices")
+            # shard the batch across the mesh; XLA partitions the whole
+            # jitted program (backbone + NMS are per-image independent, so
+            # this is collective-free data parallelism over ICI)
+            images = jax.device_put(images, self._batch_sharding)
         return self._infer(self.fused_params, images)
 
     def predict_raw(self, images) -> jnp.ndarray:

@@ -30,7 +30,7 @@ def test(opt):
     det = Detector(
         opt.cfg, weights=opt.weights or None, img_size=opt.img_size,
         conf_thres=opt.conf_thres, nms_thres=opt.nms_thres,
-        max_det=opt.max_det,
+        max_det=opt.max_det, devices=opt.devices,
         compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32)
     result = evaluate_dataset(
         det, data_cfg["valid"], batch_size=opt.batch_size,
@@ -55,6 +55,8 @@ def make_parser():
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--ap-method", choices=["continuous", "11point"],
                    default="continuous")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard eval batches over N devices (0 = single)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--device", type=str, default="",
                    help="jax platform override (cpu/tpu)")

@@ -87,3 +87,27 @@ def test_full_pipeline_from_raw_image(detector):
     assert np.all(np.isfinite(r))
     # scores/classes pass through unchanged
     np.testing.assert_allclose(r[..., 5:], np.asarray(dets)[..., 5:])
+
+
+def test_multi_device_inference_matches_single_device():
+    """Detector(devices=4) on the 8-virtual-device CPU mesh: batch sharded
+    over the mesh, params replicated — per-image outputs equal the
+    single-device detector (SURVEY §5 tile-parallelism analog)."""
+    import jax
+
+    assert len(jax.devices()) >= 4
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 255, (8, 128, 128, 3), dtype=np.uint8)
+
+    det1 = Detector(TINY, img_size=128, conf_thres=0.2, nms_thres=0.4,
+                    max_det=32, seed=5)
+    detN = Detector(TINY, img_size=128, conf_thres=0.2, nms_thres=0.4,
+                    max_det=32, seed=5, devices=4)
+    d1, m1 = det1(imgs)
+    dN, mN = detN(imgs)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(mN))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(dN),
+                               rtol=1e-5, atol=1e-5)
+    # indivisible batch fails loudly
+    with pytest.raises(AssertionError, match="divisible"):
+        detN(imgs[:6])

@@ -28,6 +28,7 @@ def detect(opt):
     from rotate_yolov3_tpu.config.parse import load_classes, parse_data_cfg
     from rotate_yolov3_tpu.data.loaders import (LoadImages, LoadWebcam,
                                                 batched)
+    from rotate_yolov3_tpu.data.loaders import VID_EXTS as loaders_VID_EXTS
     from rotate_yolov3_tpu.detector import Detector, detections_to_numpy
     from rotate_yolov3_tpu.ops.boxes import scale_coords_rotated
     from rotate_yolov3_tpu.utils.plotting import draw_detections
@@ -50,6 +51,7 @@ def detect(opt):
     else:
         loader = LoadImages(opt.source, img_size=det.img_size)
     t_total, n_imgs = 0.0, 0
+    video_writers = {}   # source video path -> cv2.VideoWriter
 
     for items, n_real in batched(iter(loader), opt.batch_size):
         imgs = np.stack([it[1] for it in items])
@@ -76,8 +78,29 @@ def detect(opt):
             if not opt.no_save:
                 import cv2
                 drawn = draw_detections(img0, d, names)
-                cv2.imwrite(os.path.join(opt.output, stem + ".jpg"), drawn)
+                src = path.split("#")[0]
+                is_video = (os.path.splitext(src)[1].lower()
+                            in loaders_VID_EXTS)
+                if is_video:
+                    # assemble annotated frames back into a video (the
+                    # reference detect.py's cv2.VideoWriter role)
+                    w = video_writers.get(src)
+                    if w is None:
+                        fps = getattr(loader, "video_fps", {}).get(src, 30.0)
+                        vpath = os.path.join(opt.output, base + "_det.mp4")
+                        w = cv2.VideoWriter(
+                            vpath, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                            (img0.shape[1], img0.shape[0]))
+                        assert w.isOpened(), f"VideoWriter failed: {vpath}"
+                        video_writers[src] = w
+                        print(f"writing video {vpath}")
+                    w.write(drawn)
+                else:
+                    cv2.imwrite(os.path.join(opt.output, stem + ".jpg"),
+                                drawn)
 
+    for w in video_writers.values():
+        w.release()
     if n_imgs:
         print(f"done: {n_imgs} images, {t_total:.3f}s device time "
               f"({n_imgs / max(t_total, 1e-9):.1f} img/s)")

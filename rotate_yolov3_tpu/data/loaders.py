@@ -72,6 +72,7 @@ class LoadImages:
     def __init__(self, source: str, img_size: int = 608):
         self.files = list_sources(source)
         self.img_size = img_size
+        self.video_fps: dict = {}   # source path -> fps (filled while iterating)
 
     def __len__(self):
         return len(self.files)
@@ -84,6 +85,7 @@ class LoadImages:
             ext = os.path.splitext(path)[1].lower()
             if ext in VID_EXTS:
                 cap = cv2.VideoCapture(path)
+                self.video_fps[path] = cap.get(cv2.CAP_PROP_FPS) or 30.0
                 fidx = 0
                 while True:
                     ok, img0 = cap.read()

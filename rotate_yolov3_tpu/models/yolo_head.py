@@ -87,6 +87,27 @@ def decode_head(raw: jnp.ndarray, spec: YoloSpec) -> jnp.ndarray:
     return out.reshape(b, h * w * spec.na, spec.no)
 
 
+def decode_boxes_grid(p: jnp.ndarray, spec: YoloSpec) -> jnp.ndarray:
+    """Decode ONLY the boxes of a head-view map: (B, H, W, na, no) ->
+    (B, H, W, na, 5) pixel boxes, keeping the grid layout.
+
+    Used by the training loss to build the darknet objectness-ignore region
+    (decoded prediction vs GT IoU over the whole grid)."""
+    b, h, w, na, no = p.shape
+    anchors_wh, anchor_angles = head_anchors(spec)
+    awh = jnp.asarray(anchors_wh)
+    aang = jnp.asarray(anchor_angles)
+    gy = jax.lax.broadcasted_iota(p.dtype, (h, w), 0)
+    gx = jax.lax.broadcasted_iota(p.dtype, (h, w), 1)
+    grid = jnp.stack([gx, gy], axis=-1)[None, :, :, None, :]
+    xy = (jax.nn.sigmoid(p[..., 0:2]) + grid) * spec.stride
+    wh = awh[None, None, None, :, :] * jnp.exp(
+        jnp.clip(p[..., 2:4], -_WH_CLAMP, _WH_CLAMP))
+    theta = (aang[None, None, None, :]
+             + ANGLE_RANGE * jnp.tanh(p[..., 4]))[..., None]
+    return jnp.concatenate([xy, wh, theta], axis=-1)
+
+
 def decode_all(head_raws: Sequence[jnp.ndarray],
                yolo_specs: Sequence[YoloSpec]) -> jnp.ndarray:
     """Decode + concatenate all heads: eval-mode contract of the reference's

@@ -12,12 +12,15 @@ one batched tensor program:
     IoU and angle proximity");
   * each valid GT is assigned to its best-fit anchor at its center cell if
     the fit exceeds ``hyp.iou_t``;
-  * non-best anchors at the GT cell whose fit exceeds the head's
-    ``ignore_thresh`` are excluded from the objectness loss (the darknet
-    ignore region, realised anchor-side so it stays cheap and fixed-shape);
   * outputs are (a) per-GT gather indices + regression targets and (b) a
-    dense objectness target/ignore grid built with `scatter(drop)` — no
-    ragged lists anywhere.
+    dense objectness target grid built with `scatter(drop)` — no ragged
+    lists anywhere.
+
+The darknet objectness IGNORE region (predictions whose IoU with any GT
+exceeds ``ignore_thresh`` are excluded from the no-object penalty,
+grid-wide) depends on the decoded predictions, so it lives in
+``train.loss`` (``objectness_ignore``) rather than here — assignment only
+sees ground truth.
 """
 
 from __future__ import annotations
@@ -43,7 +46,6 @@ class HeadTargets(NamedTuple):
     tcls: jnp.ndarray        # (B, G) int32 class ids
     tbox_abs: jnp.ndarray    # (B, G, 5) absolute GT rotated box (pixels)
     obj_target: jnp.ndarray  # (B, H, W, na) float 0/1
-    obj_mask: jnp.ndarray    # (B, H, W, na) float weight (0 = ignored)
 
 
 def _wh_iou(gt_wh: jnp.ndarray, anchor_wh: jnp.ndarray) -> jnp.ndarray:
@@ -107,30 +109,16 @@ def build_targets_head(targets: jnp.ndarray, valid: jnp.ndarray,
     # and mark the last grid slot positive for every padding row)
     scatter_idx = jnp.where(assigned, flat, size).astype(jnp.int32)
 
-    # --- dense objectness target & ignore mask ------------------------------
+    # --- dense objectness target --------------------------------------------
     batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, g))
     obj_target = jnp.zeros((b, size), jnp.float32)
     obj_target = obj_target.at[batch_idx, scatter_idx].set(1.0, mode="drop")
-
-    # ignore: any anchor at the GT cell with fit > ignore_thresh (incl.
-    # best); positives are re-enabled below by obj_target taking precedence.
-    ignore = valid[..., None] & (fit > spec.ignore_thresh)       # (B,G,na)
-    cell_base = (gj * grid + gi)[..., None] * na                  # (B,G,1)
-    ign_idx = jnp.where(ignore, cell_base + jnp.arange(na)[None, None, :],
-                        size).astype(jnp.int32)                   # (B,G,na)
-    ign_flat = ign_idx.reshape(b, g * na)
-    batch_idx2 = jnp.broadcast_to(jnp.arange(b)[:, None], (b, g * na))
-    obj_mask = jnp.ones((b, size), jnp.float32)
-    obj_mask = obj_mask.at[batch_idx2, ign_flat].set(0.0, mode="drop")
-    # positives always contribute to the obj loss
-    obj_mask = jnp.maximum(obj_mask, obj_target)
 
     shape4 = (b, grid, grid, na)
     return HeadTargets(
         flat_idx=flat_idx, assigned=assigned, txy=txy, twh=twh,
         tangle=tangle, tcls=cls_id, tbox_abs=tbox_abs,
-        obj_target=obj_target.reshape(shape4),
-        obj_mask=obj_mask.reshape(shape4))
+        obj_target=obj_target.reshape(shape4))
 
 
 def build_targets(targets: jnp.ndarray, valid: jnp.ndarray,

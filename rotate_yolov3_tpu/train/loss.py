@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from ..config.hyp import Hyp
 from ..models.darknet import YoloSpec
-from ..models.yolo_head import ANGLE_RANGE, head_anchors, reshape_head
+from ..models.yolo_head import (ANGLE_RANGE, decode_boxes_grid, head_anchors,
+                                reshape_head)
 from ..ops.skew_iou import skew_iou
 from .assign import HeadTargets, build_targets
 
@@ -40,6 +41,35 @@ def _smooth_l1(x, beta: float = 1.0 / 9.0):
 
 def _masked_mean(x, mask):
     return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def objectness_ignore(raw: jnp.ndarray, gt_boxes: jnp.ndarray,
+                      spec: YoloSpec) -> jnp.ndarray:
+    """Darknet grid-wide objectness ignore region: (B, H, W, na) bool.
+
+    A prediction ANYWHERE on the grid whose decoded box overlaps any GT
+    with skew-IoU > ``spec.ignore_thresh`` is excluded from the no-object
+    penalty (reference ``compute_loss`` ignore-threshold masking,
+    SURVEY.md §2 "loss") — suppressing e.g. neighbour cells half-covering a
+    large object, which are plausible detections, not hard negatives.
+
+    ``gt_boxes`` is the padded (B, G, 5) pixel-box tensor; padding rows are
+    zero-area so their IoU is 0 by definition and they never ignore
+    anything. The G axis is scanned sequentially: peak memory stays at one
+    (B, H, W, na) IoU grid instead of G of them, and the per-step work is
+    pure fused elementwise math on the VPU.
+    """
+    pred = decode_boxes_grid(
+        jax.lax.stop_gradient(reshape_head(raw, spec).astype(jnp.float32)),
+        spec)                                         # (B, H, W, na, 5)
+
+    def body(best, gt_g):                             # gt_g: (B, 5)
+        iou = skew_iou(pred, gt_g[:, None, None, None, :])
+        return jnp.maximum(best, iou), None
+
+    init = jnp.zeros(pred.shape[:-1], jnp.float32)
+    best, _ = jax.lax.scan(body, init, jnp.swapaxes(gt_boxes, 0, 1))
+    return best > spec.ignore_thresh
 
 
 def compute_loss_head(raw: jnp.ndarray, tgt: HeadTargets, spec: YoloSpec,
@@ -92,16 +122,18 @@ def compute_loss_head(raw: jnp.ndarray, tgt: HeadTargets, spec: YoloSpec,
             _bce_logits(pos[..., 6], jnp.ones_like(m), hyp.cls_pw) * m
         ) / n_pos
 
-    # Objectness BCE over the dense grid with ignore mask. Positives and
-    # negatives are averaged SEPARATELY: a head has O(10^3-10^5) cells and
-    # only a handful of positives, so a single grid-mean lets the optimizer
-    # drive every obj logit to 0 and still reach near-zero loss (observed:
-    # trained nets detected nothing). Per-group means keep the positive
-    # term O(1) regardless of grid size.
+    # Objectness BCE over the dense grid with the darknet grid-wide ignore
+    # region (see objectness_ignore). Positives and negatives are averaged
+    # SEPARATELY: a head has O(10^3-10^5) cells and only a handful of
+    # positives, so a single grid-mean lets the optimizer drive every obj
+    # logit to 0 and still reach near-zero loss (observed: trained nets
+    # detected nothing). Per-group means keep the positive term O(1)
+    # regardless of grid size.
     obj_logits = p[..., 5]
     bce = _bce_logits(obj_logits, tgt.obj_target, hyp.obj_pw)
-    pos_mask = tgt.obj_target * tgt.obj_mask
-    neg_mask = (1.0 - tgt.obj_target) * tgt.obj_mask
+    ignore = objectness_ignore(raw, tgt.tbox_abs, spec).astype(p.dtype)
+    pos_mask = tgt.obj_target
+    neg_mask = (1.0 - tgt.obj_target) * (1.0 - ignore)
     lobj = _masked_mean(bce, neg_mask) + _masked_mean(bce, pos_mask)
 
     return {"xy": lxy, "wh": lwh, "angle": langle, "siou": lsiou,

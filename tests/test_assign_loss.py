@@ -73,21 +73,6 @@ def test_assignment_threshold_rejects_bad_fit():
     assert float(out.obj_target.sum()) == 0.0
 
 
-def test_ignore_mask_covers_near_anchors():
-    spec = _spec(ignore=0.3)
-    # square GT at 45deg fits the 32x32 anchor equally at both angle offsets
-    # (fit = 0.86 * cos(pi/4) = 0.61 each): best is positive, the other must
-    # be ignored (mask 0), not treated as negative
-    t, v = _gt(cx=20, cy=20, w=30, h=30, th=math.pi / 4)
-    out = build_targets_head(t, v, spec, IMG, iou_t=0.2)
-    assert bool(out.assigned[0, 0])
-    masked_out = (out.obj_mask == 0.0) & (out.obj_target == 0.0)
-    assert int(masked_out.sum()) >= 1
-    # positives keep mask 1
-    assert float((out.obj_mask * out.obj_target).sum()) == float(
-        out.obj_target.sum())
-
-
 def test_padding_rows_never_assign():
     spec = _spec()
     t = jnp.zeros((2, 4, 6), jnp.float32)
@@ -95,7 +80,91 @@ def test_padding_rows_never_assign():
     out = build_targets_head(t, v, spec, IMG, iou_t=0.2)
     assert not bool(out.assigned.any())
     assert float(out.obj_target.sum()) == 0.0
-    assert float(out.obj_mask.min()) == 1.0   # nothing ignored
+
+
+def test_objectness_ignore_matches_numpy_oracle():
+    """Reference darknet semantics, cross-checked by an independent numpy
+    re-implementation: a prediction ANYWHERE on the grid whose decoded box
+    has skew-IoU > ignore_thresh with ANY GT is excluded from the no-object
+    penalty (VERDICT r1 'ignore-region semantics')."""
+    from oracles import skew_iou_np
+    from rotate_yolov3_tpu.models.yolo_head import (ANGLE_RANGE,
+                                                    decode_boxes_grid,
+                                                    head_anchors,
+                                                    reshape_head)
+    from rotate_yolov3_tpu.train.loss import objectness_ignore
+
+    spec = _spec(ignore=0.4)
+    g = IMG // spec.stride
+    rng = np.random.default_rng(0)
+    raw = rng.normal(0, 0.7, (1, g, g, spec.na * spec.no)).astype(np.float32)
+    # two GT: one normal, one large (covers several neighbour cells)
+    t = np.zeros((1, 4, 6), np.float32)
+    t[0, 0] = [0, 20 / IMG, 20 / IMG, 18 / IMG, 9 / IMG, 0.2]
+    t[0, 1] = [0, 44 / IMG, 40 / IMG, 34 / IMG, 30 / IMG, -0.5]
+    gt_px = t[0, :, 1:6].copy()
+    gt_px[:, :4] *= IMG
+
+    got = np.asarray(objectness_ignore(
+        jnp.asarray(raw), jnp.asarray(t[:, :, 1:6] * [IMG, IMG, IMG, IMG, 1]),
+        spec))[0]
+
+    # independent numpy decode + Sutherland-Hodgman IoU
+    anchors_wh, anchor_angles = head_anchors(spec)
+    p = raw.reshape(g, g, spec.na, spec.no)
+    want = np.zeros((g, g, spec.na), bool)
+    for gy in range(g):
+        for gx in range(g):
+            for a in range(spec.na):
+                tx, ty, tw, th_, tth = p[gy, gx, a, :5]
+                sig = lambda z: 1 / (1 + np.exp(-z))
+                bx = (sig(tx) + gx) * spec.stride
+                by = (sig(ty) + gy) * spec.stride
+                bw = anchors_wh[a, 0] * np.exp(np.clip(tw, -8, 8))
+                bh = anchors_wh[a, 1] * np.exp(np.clip(th_, -8, 8))
+                bth = anchor_angles[a] + ANGLE_RANGE * np.tanh(tth)
+                box = np.array([bx, by, bw, bh, bth])
+                best = max(skew_iou_np(box, gtb) for gtb in gt_px[:2])
+                want[gy, gx, a] = best > spec.ignore_thresh
+    assert want.sum() > 0, "test setup: no cell exceeds ignore_thresh"
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ignored_predictions_do_not_affect_obj_loss():
+    """Flipping the obj logit of an ignored (high-IoU, non-positive)
+    prediction must leave the obj component unchanged, while a genuine
+    negative's logit must change it."""
+    from rotate_yolov3_tpu.train.loss import objectness_ignore
+
+    spec = _spec(ignore=0.4)
+    g = IMG // spec.stride
+    t, v = _gt(cx=20, cy=20, w=30, h=28, th=0.3)
+    out = build_targets_head(t, v, spec, IMG, iou_t=0.2)
+
+    raw = np.zeros((1, g, g, spec.na, spec.no), np.float32)
+    gt_px = np.asarray(t[0, :, 1:6]) * [IMG, IMG, IMG, IMG, 1]
+    ign = np.asarray(objectness_ignore(
+        jnp.asarray(raw.reshape(1, g, g, -1)), jnp.asarray(gt_px)[None],
+        spec))[0]
+    pos = np.asarray(out.obj_target[0]) > 0
+    ign_neg = ign & ~pos
+    true_neg = ~ign & ~pos
+    assert ign_neg.sum() > 0 and true_neg.sum() > 0
+
+    def obj_loss(r):
+        _, comp = compute_loss([jnp.asarray(r.reshape(1, g, g, -1))],
+                               t, v, [spec], IMG)
+        return float(comp["obj"])
+
+    base = obj_loss(raw)
+    r2 = raw.copy()
+    iy, ix, ia = np.argwhere(ign_neg)[0]
+    r2[0, iy, ix, ia, 5] = 6.0           # ignored: no effect
+    assert obj_loss(r2) == pytest.approx(base, abs=1e-7)
+    r3 = raw.copy()
+    iy, ix, ia = np.argwhere(true_neg)[0]
+    r3[0, iy, ix, ia, 5] = 6.0           # real negative: penalised
+    assert obj_loss(r3) > base + 1e-4
 
 
 def _raw_for(spec, b=1):

@@ -241,3 +241,93 @@ def test_detector_loads_pt(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(det.params["layer_000"]["kernel"]),
         np.asarray(params["layer_000"]["kernel"]))
+
+
+def _numpy_decode_heads(heads_nchw, yolo_specs):
+    """Independent (torch-side) decode of raw head maps -> (N, 6+nc) rows,
+    mirroring the reference's YOLOLayer eval-mode semantics."""
+    from rotate_yolov3_tpu.models.yolo_head import ANGLE_RANGE, head_anchors
+
+    sig = lambda z: 1.0 / (1.0 + np.exp(-z))
+    rows = []
+    for ht, spec in zip(heads_nchw, yolo_specs):
+        a_wh, a_ang = head_anchors(spec)
+        p = ht.detach().numpy()[0].transpose(1, 2, 0)     # (H, W, na*no)
+        h, w = p.shape[:2]
+        p = p.reshape(h, w, spec.na, spec.no)
+        gy, gx = np.mgrid[0:h, 0:w]
+        bx = (sig(p[..., 0]) + gx[..., None]) * spec.stride
+        by = (sig(p[..., 1]) + gy[..., None]) * spec.stride
+        bw = a_wh[None, None, :, 0] * np.exp(np.clip(p[..., 2], -8, 8))
+        bh = a_wh[None, None, :, 1] * np.exp(np.clip(p[..., 3], -8, 8))
+        th = a_ang[None, None, :] + ANGLE_RANGE * np.tanh(p[..., 4])
+        obj = sig(p[..., 5])
+        cls = sig(p[..., 6:])
+        out = np.concatenate(
+            [np.stack([bx, by, bw, bh, th, obj], axis=-1), cls], axis=-1)
+        rows.append(out.reshape(-1, spec.no))
+    return np.concatenate(rows, axis=0)
+
+
+def test_full_image_to_detections_parity(tmp_path):
+    """Image -> decode -> NMS parity against the torch+numpy second
+    implementation from the same .weights bytes: decoded boxes agree to
+    fp32 tolerance and the NMS kept set is identical (VERDICT r1 item 9 —
+    the executable definition of 'mAP parity' pending real data/weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from oracles import greedy_rotated_nms_np
+    from rotate_yolov3_tpu.models import decode_all
+    from rotate_yolov3_tpu.ops.rotated_nms import non_max_suppression
+
+    img_size, nms = 96, 0.4
+    spec = build_network(parse_model_cfg(TINY), img_size=img_size)
+    params, state = init_params(spec, jax.random.PRNGKey(8))
+    state = jax.tree.map(
+        lambda a: a + 0.02 * jnp.arange(a.size, dtype=a.dtype) / a.size,
+        state)
+    wpath = str(tmp_path / "e2e.weights")
+    save_darknet_weights(spec, params, state, wpath)
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (1, img_size, img_size, 3)).astype(np.float32)
+
+    # ---- torch-side: forward + independent decode --------------------------
+    heads_t = torch_forward_from_weights(
+        spec, wpath, torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    dec_t = _numpy_decode_heads(heads_t, spec.yolo_specs)
+
+    # ---- jax side: forward + decode_all ------------------------------------
+    heads_j, _ = apply_network(spec, params, state, jnp.asarray(img),
+                               train=False)
+    dec_j = np.asarray(decode_all([h.astype(jnp.float32) for h in heads_j],
+                                  spec.yolo_specs))[0]
+    assert dec_j.shape == dec_t.shape
+    np.testing.assert_allclose(dec_j, dec_t, rtol=3e-4, atol=3e-4)
+
+    # ---- NMS kept-set parity ------------------------------------------------
+    # threshold at a score quantile so a few dozen random-weight candidates
+    # pass regardless of init statistics
+    nc = dec_t.shape[1] - 6
+    score = dec_t[:, 5] * dec_t[:, 6:].max(axis=1)
+    cls_id = dec_t[:, 6:].argmax(axis=1)
+    conf = float(np.quantile(score, 0.995))
+    dets, mask = non_max_suppression(jnp.asarray(dec_j[None]),
+                                     conf_thres=conf, nms_thres=nms,
+                                     max_det=dec_j.shape[0])
+    got = np.asarray(dets[0])[np.asarray(mask[0])]
+
+    kept = []
+    for c in range(nc):
+        sel = np.nonzero((cls_id == c) & (score >= conf))[0]
+        if not len(sel):
+            continue
+        k = greedy_rotated_nms_np(dec_t[sel, :5], score[sel], nms)
+        kept.extend(sel[k].tolist())
+    kept = sorted(kept, key=lambda i: -score[i])
+    assert len(got) == len(kept) and len(kept) > 0
+    np.testing.assert_allclose(got[:, :5], dec_t[kept][:, :5],
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(got[:, 5], score[kept], rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(got[:, 6].astype(int), cls_id[kept])

@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """Benchmark: 608x608 end-to-end inference throughput (images/sec/chip).
 
-Full Darknet-53 rotate-yolov3: bfloat16 conv stack, rotated decode +
-fixed-shape rotated NMS (Pallas skew-IoU kernel on TPU), all in one XLA
+Measures THE PRODUCT PATH: the exact jitted function ``Detector`` runs for
+detect.py / test.py / dota.py (``Detector.infer_fn`` — bf16 packed-stem
+Darknet-53, rotated decode via score-first exact top-k, fixed-shape rotated
+NMS with the Pallas skew-IoU kernel), scanned K times inside one XLA
 program. Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
 vs_baseline = value / 1000 (the driver-set >=1000 img/s/chip target —
 BASELINE.md records that no published reference numbers were recoverable).
@@ -48,37 +50,24 @@ def bench(batch_size: int = 128, scan_iters: int = 16, trials: int = 2,
     import jax.numpy as jnp
     import numpy as np
 
-    from rotate_yolov3_tpu.config.parse import parse_model_cfg
-    from rotate_yolov3_tpu.models import (apply_fused, build_network,
-                                          fuse_bn, init_params)
-    from rotate_yolov3_tpu.ops.rotated_nms import non_max_suppression_fused
+    from rotate_yolov3_tpu.detector import Detector
 
-    spec = build_network(
-        parse_model_cfg(os.path.join(ROOT, "cfg/yolov3-rotate-hrsc.cfg")),
-        img_size=img_size)
-    params, state = init_params(spec, jax.random.PRNGKey(0))
-    fused = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
-                         fuse_bn(spec, params, state))
-
-    def infer_one(fp, images):
-        x = images.astype(jnp.bfloat16) * (1.0 / 255.0)
-        heads = apply_fused(spec, fp, x)
-        # score-first fused NMS: decode only the top-K candidates. NMS is
-        # fixed-shape (cost independent of content); conf 0.05 keeps every
-        # stage live even with random weights.
-        dets, mask = non_max_suppression_fused(
-            heads, spec.yolo_specs, conf_thres, nms_thres, max_det=max_det)
-        # consume outputs so nothing is dead code
-        return jnp.sum(dets) + jnp.sum(mask)
+    # conf 0.05 keeps every stage live even with random weights; NMS is
+    # fixed-shape so its cost is content-independent anyway.
+    det = Detector(os.path.join(ROOT, "cfg/yolov3-rotate-hrsc.cfg"),
+                   img_size=img_size, conf_thres=conf_thres,
+                   nms_thres=nms_thres, max_det=max_det,
+                   compute_dtype=jnp.bfloat16)
+    fused = det.fused_params
 
     @jax.jit
     def infer_loop(fp, stack):            # stack: (K, B, S, S, 3) uint8
         def body(c, imgs):
-            return c + infer_one(fp, imgs), None
+            dets, mask = det.infer_fn(fp, imgs)
+            # consume outputs so nothing is dead code
+            return c + jnp.sum(dets) + jnp.sum(mask), None
         c, _ = jax.lax.scan(body, jnp.float32(0), stack)
         return c
-
-    rng = np.random.default_rng(0)
 
     def fresh_stack(seed):
         r = np.random.default_rng(seed)

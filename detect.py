@@ -43,7 +43,8 @@ def detect(opt):
         opt.cfg, weights=opt.weights or None, img_size=opt.img_size,
         conf_thres=opt.conf_thres, nms_thres=opt.nms_thres,
         max_det=opt.max_det, devices=opt.devices,
-        compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32)
+        compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32,
+        approx_top_k=False if opt.exact_topk else None)
 
     os.makedirs(opt.output, exist_ok=True)
     if opt.source.isdigit() or opt.source.startswith(("rtsp://", "http://")):
@@ -127,6 +128,8 @@ def make_parser():
                    help="skip writing annotated images")
     p.add_argument("--devices", type=int, default=0,
                    help="shard batches over N devices (0 = single)")
+    p.add_argument("--exact-topk", action="store_true",
+                   help="exact pre-NMS top-k (default: approx on TPU)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 conv stack (faster on TPU)")
     p.add_argument("--device", type=str, default="",

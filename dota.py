@@ -42,7 +42,8 @@ def cmd_detect(opt):
                    img_size=opt.img_size, conf_thres=opt.conf_thres,
                    nms_thres=opt.nms_thres, max_det=opt.max_det,
                    devices=opt.devices,
-                   compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32)
+                   compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32,
+                   approx_top_k=False if opt.exact_topk else None)
     os.makedirs(opt.out, exist_ok=True)
     loader = LoadImages(opt.tiles, img_size=det.img_size)
     n = 0
@@ -128,6 +129,8 @@ def make_parser():
     pd.add_argument("--max-det", type=int, default=512)
     pd.add_argument("--devices", type=int, default=0,
                     help="shard tile batches over N devices (0 = single)")
+    pd.add_argument("--exact-topk", action="store_true",
+                    help="exact pre-NMS top-k (default: approx on TPU)")
     pd.add_argument("--bf16", action="store_true")
     pd.add_argument("--device", type=str, default="")
     pd.set_defaults(fn=cmd_detect)

@@ -47,6 +47,10 @@ class ConvSpec:
     stride: int
     bn: bool
     activation: str          # 'leaky' | 'linear' | 'relu'
+    # Explicit ((top, bottom), (left, right)) spatial padding. None = the
+    # darknet default k//2 symmetric padding. Asymmetric padding is used by
+    # the packed-stem reparameterisation (models.packed_stem).
+    pad: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -262,16 +266,19 @@ def init_params(spec: NetworkSpec, rng: jax.Array,
     return params, state
 
 
-def _conv(x: jnp.ndarray, kernel: jnp.ndarray, stride: int) -> jnp.ndarray:
+def _conv(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
+          pad: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
+          ) -> jnp.ndarray:
     # Darknet pads symmetrically by k//2 (torch Conv2d padding=k//2). XLA's
     # "SAME" differs for stride-2 (asymmetric 0/1 padding), which would
     # spatially shift every downsample layer vs the reference checkpoints —
     # so the padding is explicit.
-    k = kernel.shape[0]
-    pad = k // 2
+    if pad is None:
+        k = kernel.shape[0]
+        pad = ((k // 2, k // 2), (k // 2, k // 2))
     return jax.lax.conv_general_dilated(
         x, kernel, window_strides=(stride, stride),
-        padding=((pad, pad), (pad, pad)),
+        padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
@@ -288,7 +295,7 @@ def _activate(x: jnp.ndarray, activation: str) -> jnp.ndarray:
 def _apply_conv(layer: ConvSpec, p: Dict, s: Optional[Dict], x: jnp.ndarray,
                 train: bool, axis_name: Optional[str]):
     """Conv -> (BN) -> activation. Returns (y, new_bn_state_or_None)."""
-    y = _conv(x, p["kernel"].astype(x.dtype), layer.stride)
+    y = _conv(x, p["kernel"].astype(x.dtype), layer.stride, layer.pad)
     new_state = None
     if layer.bn:
         if train:
@@ -428,7 +435,7 @@ def apply_fused(spec: NetworkSpec, fused_params: Dict, x: jnp.ndarray):
         i = layer.index
         if isinstance(layer, ConvSpec):
             p = fused_params[_layer_key(i)]
-            x = _conv(x, p["kernel"].astype(x.dtype), layer.stride)
+            x = _conv(x, p["kernel"].astype(x.dtype), layer.stride, layer.pad)
             x = x + p["bias"].astype(x.dtype)
             x = _activate(x, layer.activation)
         elif isinstance(layer, ShortcutSpec):

@@ -31,7 +31,8 @@ def test(opt):
         opt.cfg, weights=opt.weights or None, img_size=opt.img_size,
         conf_thres=opt.conf_thres, nms_thres=opt.nms_thres,
         max_det=opt.max_det, devices=opt.devices,
-        compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32)
+        compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32,
+        approx_top_k=False if opt.exact_topk else None)
     result = evaluate_dataset(
         det, data_cfg["valid"], batch_size=opt.batch_size,
         iou_thr=opt.iou_thres, names=names, method=opt.ap_method,
@@ -57,6 +58,8 @@ def make_parser():
                    default="continuous")
     p.add_argument("--devices", type=int, default=0,
                    help="shard eval batches over N devices (0 = single)")
+    p.add_argument("--exact-topk", action="store_true",
+                   help="exact pre-NMS top-k (default: approx on TPU)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--device", type=str, default="",
                    help="jax platform override (cpu/tpu)")

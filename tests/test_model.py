@@ -215,3 +215,38 @@ def test_weights_mismatch_detection(tmp_path):
         f.write(data)
     with pytest.raises(ValueError, match="mid-layer"):
         load_darknet_weights(spec, params, state, path)
+
+
+# ------------------------- yolov3-tiny family ------------------------------
+
+TINY_REAL = os.path.join(ROOT, "cfg/yolov3-tiny-rotate-hrsc.cfg")
+
+
+def test_yolov3_tiny_family_builds_and_runs():
+    """The lineage's second model family: real yolov3-tiny topology with
+    rotated two-scale heads (incl. the stride-1 size-2 maxpool)."""
+    spec = build_network(parse_model_cfg(TINY_REAL), img_size=416)
+    ys = spec.yolo_specs
+    assert [y.stride for y in ys] == [32, 16]
+    assert all(y.na == 3 * 6 for y in ys)        # 3 masks x 6 angles
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (1, 416, 416, 3)), jnp.float32)
+    heads, _ = apply_network(spec, params, state, x)
+    assert heads[0].shape == (1, 13, 13, 18 * 7)
+    assert heads[1].shape == (1, 26, 26, 18 * 7)
+    # stride-1 maxpool must preserve spatial dims (darknet SAME semantics):
+    # stride-32 head on 416 input means no extra downsampling happened
+    assert heads[0].shape[1] == 416 // 32
+
+
+def test_yolov3_tiny_weights_roundtrip(tmp_path):
+    spec = build_network(parse_model_cfg(TINY_REAL), img_size=416)
+    params, state = init_params(spec, jax.random.PRNGKey(1))
+    path = str(tmp_path / "tiny.weights")
+    save_darknet_weights(spec, params, state, path, seen=7)
+    p2, s2, seen = load_darknet_weights(
+        spec, *init_params(spec, jax.random.PRNGKey(2)), path)
+    assert seen == 7
+    import chex
+    chex.assert_trees_all_close(params, p2, rtol=1e-6)

@@ -43,14 +43,14 @@ def upsample(stride=2):
     return ["[upsample]", f"stride={stride}", ""]
 
 
-def yolo(mask, classes, ignore_thresh=0.5):
+def yolo(mask, classes, ignore_thresh=0.5, anchors=None, num=9):
     return [
         "[yolo]",
         f"mask = {','.join(str(m) for m in mask)}",
-        f"anchors = {ANCHORS}",
+        f"anchors = {anchors or ANCHORS}",
         f"angles = {ANGLES}",
         f"classes={classes}",
-        "num=9",
+        f"num={num}",
         "jitter=.3",
         f"ignore_thresh = {ignore_thresh}",
         "truth_thresh = 1",
@@ -173,6 +173,47 @@ def tiny_cfg(classes=1, width=416, height=416):
     return "\n".join(L) + "\n"
 
 
+def maxpool(size=2, stride=2):
+    return ["[maxpool]", f"size={size}", f"stride={stride}", ""]
+
+
+def yolov3_tiny_cfg(classes=1, width=608, height=608):
+    """The real yolov3-tiny topology (darknet lineage) with rotated heads.
+
+    Two-scale detector: maxpool-downsampled backbone (incl. the stride-1
+    size-2 maxpool before the 1024 conv), heads at strides 32 and 16 with
+    masks [3,4,5] / [0,1,2] over a 6-anchor table — the lineage's second
+    model family, useful where Darknet-53 is overkill."""
+    # yolov3-tiny's published 6-anchor table (416-scale), angle-replicated
+    tiny_anchors = "10,14, 23,27, 37,58, 81,82, 135,169, 344,319"
+    L = net_block(width, height)
+    L += conv(16, 3)                   # 0
+    L += maxpool()                     # 1
+    L += conv(32, 3)                   # 2
+    L += maxpool()                     # 3
+    L += conv(64, 3)                   # 4
+    L += maxpool()                     # 5
+    L += conv(128, 3)                  # 6
+    L += maxpool()                     # 7
+    L += conv(256, 3)                  # 8  (route point)
+    L += maxpool()                     # 9
+    L += conv(512, 3)                  # 10
+    L += maxpool(2, 1)                 # 11 (stride-1 pool, SAME pad)
+    L += conv(1024, 3)                 # 12
+    L += conv(256, 1)                  # 13 (route point)
+    L += conv(512, 3)                  # 14
+    L += conv(head_filters(3, classes), 1, bn=0, activation="linear")  # 15
+    L += yolo([3, 4, 5], classes, anchors=tiny_anchors, num=6)  # 16, s32
+    L += route([-4])                   # 17 -> conv256 @13
+    L += conv(128, 1)                  # 18
+    L += upsample(2)                   # 19
+    L += route([-1, 8])                # 20
+    L += conv(256, 3)                  # 21
+    L += conv(head_filters(3, classes), 1, bn=0, activation="linear")  # 22
+    L += yolo([0, 1, 2], classes, anchors=tiny_anchors, num=6)  # 23, s16
+    return "\n".join(L) + "\n"
+
+
 def main():
     cfgdir = os.path.join(ROOT, "cfg")
     os.makedirs(cfgdir, exist_ok=True)
@@ -182,6 +223,8 @@ def main():
         f.write(full_cfg(classes=15))
     with open(os.path.join(cfgdir, "yolov3-rotate-tiny.cfg"), "w") as f:
         f.write(tiny_cfg(classes=1, width=416, height=416))
+    with open(os.path.join(cfgdir, "yolov3-tiny-rotate-hrsc.cfg"), "w") as f:
+        f.write(yolov3_tiny_cfg(classes=1))
     print("wrote cfg assets to", cfgdir)
 
 

@@ -121,7 +121,8 @@ def make_parser():
                    help="net input size (default: cfg [net] width)")
     p.add_argument("--conf-thres", type=float, default=0.3)
     p.add_argument("--nms-thres", type=float, default=0.4)
-    p.add_argument("--max-det", type=int, default=512)
+    p.add_argument("--max-det", type=int, default=128,
+                   help="detection capacity; NMS cost ~O(n^2), use 512 for dense scenes")
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--save-txt", action="store_true")
     p.add_argument("--no-save", action="store_true",

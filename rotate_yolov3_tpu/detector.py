@@ -41,7 +41,11 @@ class Detector:
       weights: optional .weights checkpoint to load.
       img_size: net input size (defaults to the cfg's [net] width).
       conf_thres / nms_thres / max_det: post-processing knobs (reference
-        detect.py flag names).
+        detect.py flag names). ``max_det`` caps both pre-NMS candidates and
+        output capacity; NMS cost scales ~O(max_det^2) (the pairwise IoU
+        matrix), measured 1015/966/823 img/s at 128/256/512 on v5e
+        (docs/PERF.md). Default 128 suits HRSC-style scenes (tens of
+        objects); dense DOTA tiles use 512 (dota.py's default).
       compute_dtype: jnp.bfloat16 puts the conv stack on the MXU's native
         precision (decode/NMS stay f32); float32 for exact parity runs.
       iou_matrix_fn: override the NMS pairwise-IoU implementation (e.g. the
@@ -66,7 +70,7 @@ class Detector:
 
     def __init__(self, cfg_path: str, weights: Optional[str] = None,
                  img_size: Optional[int] = None, conf_thres: float = 0.3,
-                 nms_thres: float = 0.4, max_det: int = 512,
+                 nms_thres: float = 0.4, max_det: int = 128,
                  compute_dtype=jnp.float32, iou_matrix_fn=None,
                  seed: int = 0, devices: int = 0,
                  packed_stem: bool = False,

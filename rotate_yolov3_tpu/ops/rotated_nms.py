@@ -132,8 +132,8 @@ def non_max_suppression(pred: jnp.ndarray, conf_thres: float = 0.1,
       sorted by score descending, and validity mask (B, max_det).
     """
     if iou_matrix_fn is None:
-        from .skew_iou_pallas import skew_iou_matrix_auto
-        fn = skew_iou_matrix_auto
+        from .skew_iou_pallas import skew_iou_matrix_auto_nms
+        fn = skew_iou_matrix_auto_nms
     else:
         fn = iou_matrix_fn
     single = functools.partial(_nms_single, conf_thres=conf_thres,
@@ -177,8 +177,8 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
     boxes = jnp.where(valid[..., None], boxes, 0.0)
 
     if iou_matrix_fn is None:
-        from .skew_iou_pallas import skew_iou_matrix_auto
-        iou_matrix_fn = skew_iou_matrix_auto
+        from .skew_iou_pallas import skew_iou_matrix_auto_nms
+        iou_matrix_fn = skew_iou_matrix_auto_nms
 
     def one(boxes_b, scores_b, cls_b, valid_b):
         iou = _class_masked_iou(iou_matrix_fn, boxes_b, cls_b)

@@ -186,14 +186,39 @@ def _area_from_candidates(px, py, valid):
     return jnp.where(n_valid >= 3.0, area, 0.0)
 
 
-def _iou_tile_kernel(a_ref, b_ref, out_ref):
+def _iou_tile_kernel(a_ref, b_ref, out_ref, *, block_n=None, block_m=None,
+                     triangle=False):
     """One (BN, BM) IoU tile.
 
     a_ref: (BN, 8) array-of-structures block (fields cx,cy,w,h,th,pad) —
     AoS so its lane dim (8) equals the full array dim, satisfying Mosaic's
     block-shape rule for small BN. b_ref: (8, BM) structure-of-arrays so
     the box index rides the 128-lane dimension.
+
+    ``triangle=True`` computes only tiles that intersect the strict upper
+    triangle (col > row) and zero-fills the rest. Greedy NMS consumes
+    IoU[i, j] only for j > i (rows are score-descending and a box is never
+    suppressed by a lower-ranked one), so whole at-or-below-diagonal tiles
+    are dead work — 37.5% of the grid at K=512 with (32, 128) blocks.
     """
+    if triangle:
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        # tile needed iff its max column index exceeds its min row index
+        needed = (j * block_m + block_m - 1) > (i * block_n)
+
+        @pl.when(jnp.logical_not(needed))
+        def _zero():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+
+        @pl.when(needed)
+        def _compute():
+            _iou_tile_body(a_ref, b_ref, out_ref)
+    else:
+        _iou_tile_body(a_ref, b_ref, out_ref)
+
+
+def _iou_tile_body(a_ref, b_ref, out_ref):
     acx = a_ref[:, 0][:, None]
     acy = a_ref[:, 1][:, None]
     aw = a_ref[:, 2][:, None]
@@ -235,15 +260,18 @@ def _prepare_aos(boxes: jnp.ndarray, pad_to: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "block_m",
-                                             "interpret"))
+                                             "interpret", "triangle"))
 def skew_iou_matrix_pallas(a: jnp.ndarray, b: jnp.ndarray,
                            block_n: int = 32, block_m: int = 128,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           triangle: bool = False) -> jnp.ndarray:
     """Exact pairwise skew-IoU matrix (N, 5) x (M, 5) -> (N, M) on TPU.
 
     Drop-in for ``ops.skew_iou.skew_iou_matrix`` (pass via the
     ``iou_matrix_fn`` hook of ``non_max_suppression``). ``interpret=True``
     runs the same kernel through the Pallas interpreter for CPU tests.
+    ``triangle=True`` zero-fills tiles entirely at/below the diagonal
+    (valid whenever the consumer only reads col > row, as greedy NMS does).
     """
     n, m = a.shape[0], b.shape[0]
     a_aos = _prepare_aos(a, block_n)
@@ -252,7 +280,8 @@ def skew_iou_matrix_pallas(a: jnp.ndarray, b: jnp.ndarray,
 
     grid = (n_pad // block_n, m_pad // block_m)
     out = pl.pallas_call(
-        _iou_tile_kernel,
+        functools.partial(_iou_tile_kernel, block_n=block_n,
+                          block_m=block_m, triangle=triangle),
         out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), jnp.float32),
         grid=grid,
         in_specs=[
@@ -275,4 +304,18 @@ def skew_iou_matrix_auto(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     platform = jax.default_backend()
     if platform == "tpu":
         return skew_iou_matrix_pallas(a, b)
+    return skew_iou_matrix(a, b)
+
+
+def skew_iou_matrix_auto_nms(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """IoU matrix for greedy NMS: upper triangle exact, rest unspecified.
+
+    On TPU the Pallas kernel skips at/below-diagonal tiles (they are never
+    read: suppression only flows from higher-ranked rows to lower-ranked
+    columns). The jnp fallback returns the full matrix — identical on the
+    read region, so CPU/TPU NMS keep masks stay bit-equal."""
+    from .skew_iou import skew_iou_matrix
+
+    if jax.default_backend() == "tpu":
+        return skew_iou_matrix_pallas(a, b, triangle=True)
     return skew_iou_matrix(a, b)

@@ -52,7 +52,8 @@ def make_parser():
     p.add_argument("--nms-thres", type=float, default=0.4)
     p.add_argument("--iou-thres", type=float, default=0.5,
                    help="matching IoU for TP")
-    p.add_argument("--max-det", type=int, default=512)
+    p.add_argument("--max-det", type=int, default=128,
+                   help="detection capacity; NMS cost ~O(n^2), use 512 for dense scenes")
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--ap-method", choices=["continuous", "11point"],
                    default="continuous")

@@ -39,3 +39,48 @@ def test_pallas_zero_area_padding_is_zero():
     m = np.asarray(skew_iou_matrix_pallas(
         jnp.asarray(a), jnp.asarray(a), interpret=True))
     assert m[0, 1] == 0.0 and m[1, 0] == 0.0 and m[1, 1] == 0.0
+
+
+def test_pallas_triangle_matches_full_on_upper_triangle():
+    """triangle=True must be exact wherever greedy NMS reads (col > row)
+    and must skip whole at/below-diagonal tiles (zero-filled)."""
+    rng = np.random.default_rng(2)
+    k, bn, bm = 96, 16, 32   # grid 6x3: tiles (i>=2,j=0) and (i>=4,j=1) skip
+    a = _random_boxes(rng, k, spread=80.0)
+    full = np.asarray(skew_iou_matrix_pallas(
+        jnp.asarray(a), jnp.asarray(a), block_n=bn, block_m=bm,
+        interpret=True))
+    tri = np.asarray(skew_iou_matrix_pallas(
+        jnp.asarray(a), jnp.asarray(a), block_n=bn, block_m=bm,
+        interpret=True, triangle=True))
+    iu = np.triu_indices(k, 1)
+    np.testing.assert_array_equal(tri[iu], full[iu])
+    # the tile at rows [32:48) x cols [0:32) is fully below the diagonal
+    np.testing.assert_array_equal(tri[32:48, 0:32], 0.0)
+
+
+def test_triangle_nms_keep_mask_unchanged():
+    """NMS with the triangle kernel = NMS with the full matrix."""
+    import functools
+    from rotate_yolov3_tpu.ops.rotated_nms import non_max_suppression
+
+    rng = np.random.default_rng(3)
+    n = 64
+    boxes = _random_boxes(rng, n, spread=50.0)
+    scores = rng.uniform(0.2, 1.0, n).astype(np.float32)
+    order = np.argsort(-scores)
+    # (1, N, 7): 5 box params + objectness + one class prob
+    pred = np.concatenate([boxes[order], scores[order, None],
+                           np.ones((n, 1), np.float32)], axis=1)[None]
+
+    full_fn = functools.partial(skew_iou_matrix_pallas, interpret=True)
+    tri_fn = functools.partial(skew_iou_matrix_pallas, interpret=True,
+                               triangle=True)
+    d1, m1 = non_max_suppression(jnp.asarray(pred), conf_thres=0.25,
+                                 nms_thres=0.3, max_det=n,
+                                 iou_matrix_fn=full_fn)
+    d2, m2 = non_max_suppression(jnp.asarray(pred), conf_thres=0.25,
+                                 nms_thres=0.3, max_det=n,
+                                 iou_matrix_fn=tri_fn)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))

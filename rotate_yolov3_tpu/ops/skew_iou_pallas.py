@@ -64,7 +64,16 @@ def _candidates(ax, ay, bx, by):
             d2x = bx[(j + 1) % 4] - q1x
             d2y = by[(j + 1) % 4] - q1y
             denom = d1x * d2y - d1y * d2x
-            ok = jnp.abs(denom) > _EPS
+            # RELATIVE parallelism test: with fused multiply-add the cross
+            # product of exactly-parallel edges evaluates to ~ulp(|d1||d2|)
+            # instead of 0, which would mint spurious on-segment candidates
+            # (they crowd true vertices out of the 8 compaction slots). The
+            # relative threshold only discards intersections of edges within
+            # ~1e-5 rad of parallel — whose vertex locations f32 cannot
+            # condition anyway.
+            scale = (jnp.abs(d1x) + jnp.abs(d1y)) \
+                * (jnp.abs(d2x) + jnp.abs(d2y))
+            ok = jnp.abs(denom) > 1e-5 * scale + _EPS
             sd = jnp.where(ok, denom, 1.0)
             rx, ry = q1x - p1x, q1y - p1y
             t = (rx * d2y - ry * d2x) / sd
@@ -122,64 +131,103 @@ def _diamond_angle(y, x):
     return jnp.where(denom > _EPS, ang, 0.0)
 
 
+_NSLOT = 8   # convex quad ∩ quad has ≤ 8 vertices (m+n bound)
+
+
 def _area_from_candidates(px, py, valid):
     """Masked convex-polygon area from unordered candidates.
 
-    px/py/valid: (24, ...) stacked candidates. Rank-sorts by angle around
-    the valid-centroid (branch-free pairwise comparisons + one-hot
-    gather), then masked shoelace with modular wrap.
+    px/py/valid: (24, ...) stacked candidates. COMPACTS the valid
+    candidates into 8 dense slots (a convex quad∩quad polygon has at most
+    m+n = 8 vertices), then rank-sorts the 8 slots by angle around the
+    valid-centroid (branch-free pairwise comparisons + one-hot gather) and
+    runs a masked shoelace with modular wrap.
 
-    Implementation detail: the pairwise rank/gather stages are STATIC
-    Python loops over the 24 candidates rather than broadcast
-    (24, 24, ...) tensor ops — broadcast temporaries of 576 tile-sized
-    planes blow VMEM and force Mosaic to spill; the unrolled form keeps
-    every temporary one (BN, BM) tile.
+    Compaction first is the kernel's big win: the rank-sort + gather over
+    all 24 candidate slots was 63% of kernel time (measured ablation,
+    docs/PERF.md); over 8 slots it is 24²/8² = 9× less comparison/select
+    work for a 24-add running-prefix + 8×24 one-hot contraction.
+
+    Candidates beyond the 8th valid slot are dropped. More than 8 valid
+    candidates requires duplicate hits (a vertex of one rect within the
+    1e-6 intersection tolerance of the other's edge — true distinct
+    vertices are ≤ 8 by the convexity bound), and the list order
+    (edge-edge intersections first) keeps the true polygon vertices in
+    exactly those degenerate configurations: near-identical boxes produce
+    their 8 edge-edge hull vertices at the head of the list, with the
+    tol-inside corner duplicates behind them.
+
+    Implementation detail: the prefix/rank/gather stages are STATIC Python
+    loops rather than broadcast tensor ops — broadcast temporaries of
+    tile-sized planes blow VMEM and force Mosaic to spill; the unrolled
+    form keeps every temporary one (BN, BM) tile.
     """
     maskf = valid.astype(px.dtype)
     n_valid = jnp.sum(maskf, axis=0)
     inv_n = 1.0 / jnp.maximum(n_valid, 1.0)
     cx = jnp.sum(px * maskf, axis=0) * inv_n
     cy = jnp.sum(py * maskf, axis=0) * inv_n
-    rxs = [px[i] - cx for i in range(_NCAND)]
-    rys = [py[i] - cy for i in range(_NCAND)]
+
+    zero = jnp.zeros_like(px[0])
+    one = jnp.ones_like(px[0])
+
+    # dense position of each valid candidate: running count of valid before
+    pos = []
+    run = zero
+    for i in range(_NCAND):
+        pos.append(run)
+        run = run + maskf[i]
+
+    # compact centered coordinates into the 8 slots (one-hot contraction)
+    crx, cry = [], []
+    for s in range(_NSLOT):
+        sx = zero
+        sy = zero
+        for i in range(_NCAND):
+            hit = valid[i] & (pos[i] == float(s))
+            sx = sx + jnp.where(hit, px[i] - cx, zero)
+            sy = sy + jnp.where(hit, py[i] - cy, zero)
+        crx.append(sx)
+        cry.append(sy)
+    n_eff = jnp.minimum(n_valid, float(_NSLOT))
+
     # epsilon-index offset makes keys unique, so the rank-sort needs no tie
     # logic. Exact-angle ties between DISTINCT valid points would require
     # two hull vertices collinear with the interior centroid — impossible
     # for a convex polygon with positive area; duplicate points are
     # order-independent (they contribute zero to the shoelace either way).
-    keys = [jnp.where(valid[i], _diamond_angle(rys[i], rxs[i]), 1e4)
-            + i * 1e-6 for i in range(_NCAND)]
+    keys = [jnp.where(float(s) < n_eff,
+                      _diamond_angle(cry[s], crx[s]), 1e4)
+            + s * 1e-6 for s in range(_NSLOT)]
 
-    # rank[i] = #{j : key[j] < key[i]}
-    zero = jnp.zeros_like(keys[0])
-    one = jnp.ones_like(keys[0])
+    # rank[s] = #{t : key[t] < key[s]}
     ranks = []
-    for i in range(_NCAND):
+    for s in range(_NSLOT):
         r = zero
-        for j in range(_NCAND):
-            if j != i:
-                r = r + jnp.where(keys[j] < keys[i], one, zero)
+        for t in range(_NSLOT):
+            if t != s:
+                r = r + jnp.where(keys[t] < keys[s], one, zero)
         ranks.append(r)
 
-    # sorted[r] = sum_i (rank[i] == r) * val[i]
+    # sorted[r] = sum_s (rank[s] == r) * val[s]
     srx, sry = [], []
-    for r in range(_NCAND):
+    for r in range(_NSLOT):
         ax = zero
         ay = zero
-        for i in range(_NCAND):
-            hit = ranks[i] == float(r)
-            ax = ax + jnp.where(hit, rxs[i], zero)
-            ay = ay + jnp.where(hit, rys[i], zero)
+        for s in range(_NSLOT):
+            hit = ranks[s] == float(r)
+            ax = ax + jnp.where(hit, crx[s], zero)
+            ay = ay + jnp.where(hit, cry[s], zero)
         srx.append(ax)
         sry.append(ay)
 
-    # shoelace over the first n_valid sorted slots, wrapping back to slot 0
+    # shoelace over the first n_eff sorted slots, wrapping back to slot 0
     area2 = zero
-    for r in range(_NCAND):
-        in_poly = (float(r) < n_valid)
-        wrap = (float(r) + 1.0) >= n_valid
-        nx = jnp.where(wrap, srx[0], srx[(r + 1) % _NCAND])
-        ny = jnp.where(wrap, sry[0], sry[(r + 1) % _NCAND])
+    for r in range(_NSLOT):
+        in_poly = (float(r) < n_eff)
+        wrap = (float(r) + 1.0) >= n_eff
+        nx = jnp.where(wrap, srx[0], srx[(r + 1) % _NSLOT])
+        ny = jnp.where(wrap, sry[0], sry[(r + 1) % _NSLOT])
         crs = srx[r] * ny - sry[r] * nx
         area2 = area2 + jnp.where(in_poly, crs, zero)
     area = 0.5 * jnp.abs(area2)

@@ -41,6 +41,43 @@ def test_pallas_zero_area_padding_is_zero():
     assert m[0, 1] == 0.0 and m[1, 0] == 0.0 and m[1, 1] == 0.0
 
 
+def test_pallas_degenerate_parallel_and_duplicate_boxes():
+    """Configurations that stress the 8-slot candidate compaction:
+    identical boxes, parallel-edge (same-angle) overlaps, axis-aligned
+    overlaps — where FMA evaluation of the edge cross product can mint
+    spurious parallel-edge 'intersections' (caught by the relative
+    parallelism threshold; regression for the compaction rewrite)."""
+    boxes = np.array([
+        [50, 50, 20, 10, 0.8],    # identical pair ->
+        [50, 50, 20, 10, 0.8],    #   IoU exactly 1
+        [50, 50, 20, 10, 0.0],    # axis-aligned trio with parallel edges
+        [55, 50, 20, 10, 0.0],
+        [50, 52, 20, 10, 0.0],
+        [30, 30, 16, 8, 0.5],     # same-angle shifted (parallel edges)
+        [34, 33, 16, 8, 0.5],
+    ], np.float32)
+    ours = np.asarray(skew_iou_matrix_pallas(
+        jnp.asarray(boxes), jnp.asarray(boxes), interpret=True))
+    ref = np.asarray(skew_iou_matrix(jnp.asarray(boxes),
+                                     jnp.asarray(boxes)))
+    np.testing.assert_allclose(np.diag(ours), 1.0, atol=2e-3)
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_pallas_large_random_sweep_vs_reference():
+    """Wider randomized sweep incl. same-angle pairs (parallel edges)."""
+    rng = np.random.default_rng(4)
+    n = 64
+    a = _random_boxes(rng, n, spread=80.0)
+    # force angle collisions: half the boxes share one of 4 angles
+    shared = rng.choice([0.0, np.pi / 4, -np.pi / 3, 1.1], size=n // 2)
+    a[: n // 2, 4] = shared
+    ours = np.asarray(skew_iou_matrix_pallas(
+        jnp.asarray(a), jnp.asarray(a), interpret=True))
+    ref = np.asarray(skew_iou_matrix(jnp.asarray(a), jnp.asarray(a)))
+    np.testing.assert_allclose(ours, ref, atol=3e-3)
+
+
 def test_pallas_triangle_matches_full_on_upper_triangle():
     """triangle=True must be exact wherever greedy NMS reads (col > row)
     and must skip whole at/below-diagonal tiles (zero-filled)."""

@@ -43,7 +43,7 @@ class Detector:
       conf_thres / nms_thres / max_det: post-processing knobs (reference
         detect.py flag names). ``max_det`` caps both pre-NMS candidates and
         output capacity; NMS cost scales ~O(max_det^2) (the pairwise IoU
-        matrix), measured 1024/879 img/s at 128/512 on v5e
+        matrix), measured 1023/892 img/s at 128/512 on v5e
         (docs/PERF.md). Default 128 suits HRSC-style scenes (tens of
         objects); dense DOTA tiles use 512 (dota.py's default).
       compute_dtype: jnp.bfloat16 puts the conv stack on the MXU's native

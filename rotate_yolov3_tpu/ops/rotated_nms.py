@@ -11,8 +11,9 @@ dynamic shapes, so here every stage is fixed-shape:
      zero-area box is defined as 0, so they never suppress anything);
   3. pairwise skew-IoU matrix over the kept candidates (the O(K²) hot part —
      pure-jnp here, with a Pallas kernel drop-in in ``skew_iou_pallas``);
-  4. greedy suppression as a ``lax.fori_loop`` of K cheap vector steps
-     (the iterative-masking formulation of sequential greedy NMS);
+  4. greedy suppression as a fixpoint ``while_loop`` of whole-matrix
+     passes (exact sequential-greedy semantics in O(chain-depth) vector
+     steps; the K-step ``fori_loop`` form is kept as ``greedy_suppress``);
   5. outputs: (max_det, 7) boxes ``(cx, cy, w, h, theta, score, class)``
      sorted by score, plus a validity mask — bit-equivalent in content to
      the reference's sorted list-of-boxes, just padded.
@@ -69,6 +70,41 @@ def greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,
     return valid & ~suppressed
 
 
+def greedy_suppress_fixpoint(iou: jnp.ndarray, valid: jnp.ndarray,
+                             iou_thr: float) -> jnp.ndarray:
+    """Greedy NMS as a fixpoint iteration — same result, O(depth) passes.
+
+    The greedy keep set is the unique fixpoint of the antitone map
+      F(keep)_j = valid_j & not OR_i (keep_i & i<j & iou[i,j] > thr):
+    keep_0 is forced and each keep_j is determined by keep_{<j}, so any
+    fixpoint equals the sequential greedy solution. Iterating F from
+    keep = valid converges in (suppression-chain depth + 1) passes —
+    typically 3-7 for detection data, worst-case K — each pass one
+    masked (K, K) AND + OR-reduce on the VPU, instead of the K sequential
+    O(K) steps of ``greedy_suppress``. Both are exact; equivalence is
+    pinned in tests/test_nms.py.
+    """
+    kill = (iou > iou_thr) & (jnp.arange(iou.shape[0])[:, None]
+                              < jnp.arange(iou.shape[0])[None, :])
+
+    def step(keep):
+        suppressed = jnp.any(keep[:, None] & kill, axis=0)
+        return valid & ~suppressed
+
+    def cond(carry):
+        keep, prev, it = carry
+        return jnp.any(keep != prev) & (it < iou.shape[0])
+
+    def body(carry):
+        keep, _, it = carry
+        return step(keep), keep, it + 1
+
+    keep0 = step(valid)
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, valid, jnp.int32(0)))
+    return keep
+
+
 def _nms_single(pred: jnp.ndarray, conf_thres: float, nms_thres: float,
                 max_det: int, iou_matrix_fn: Callable,
                 approx_top_k: bool = False
@@ -101,7 +137,7 @@ def _nms_single(pred: jnp.ndarray, conf_thres: float, nms_thres: float,
     top_boxes = jnp.where(valid[:, None], top_boxes, 0.0)
 
     iou = _class_masked_iou(iou_matrix_fn, top_boxes, top_cls)
-    keep = greedy_suppress(iou, valid, nms_thres)
+    keep = greedy_suppress_fixpoint(iou, valid, nms_thres)
 
     out = jnp.concatenate(
         [top_boxes, top_scores[:, None], top_cls[:, None].astype(pred.dtype)],
@@ -182,7 +218,7 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
 
     def one(boxes_b, scores_b, cls_b, valid_b):
         iou = _class_masked_iou(iou_matrix_fn, boxes_b, cls_b)
-        keep = greedy_suppress(iou, valid_b, nms_thres)
+        keep = greedy_suppress_fixpoint(iou, valid_b, nms_thres)
         out = jnp.concatenate(
             [boxes_b, scores_b[:, None],
              cls_b[:, None].astype(boxes_b.dtype)], axis=-1)

@@ -254,3 +254,37 @@ def test_detector_topk_default_exact_off_tpu():
 
     det = Detector("cfg/yolov3-rotate-tiny.cfg", img_size=96)
     assert det.approx_top_k is False      # CPU backend in tests
+
+
+def test_fixpoint_greedy_equals_sequential_greedy():
+    """greedy_suppress_fixpoint == greedy_suppress (exact, all inputs):
+    random IoU matrices incl. long suppression chains and ties near thr."""
+    from rotate_yolov3_tpu.ops.rotated_nms import greedy_suppress_fixpoint
+
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        k = int(rng.integers(4, 160))
+        iou = rng.uniform(0, 1, (k, k)).astype(np.float32)
+        iou = np.maximum(iou, iou.T)
+        np.fill_diagonal(iou, 1.0)
+        valid = rng.uniform(0, 1, k) > 0.2
+        thr = float(rng.uniform(0.2, 0.8))
+        a = np.asarray(greedy_suppress(jnp.asarray(iou),
+                                       jnp.asarray(valid), thr))
+        b = np.asarray(greedy_suppress_fixpoint(jnp.asarray(iou),
+                                                jnp.asarray(valid), thr))
+        np.testing.assert_array_equal(a, b)
+
+    # adversarial: a pure chain 0->1->2->...->k (worst-case depth)
+    k = 64
+    iou = np.zeros((k, k), np.float32)
+    for i in range(k - 1):
+        iou[i, i + 1] = iou[i + 1, i] = 0.9
+    valid = np.ones(k, bool)
+    a = np.asarray(greedy_suppress(jnp.asarray(iou), jnp.asarray(valid), 0.5))
+    from rotate_yolov3_tpu.ops.rotated_nms import greedy_suppress_fixpoint
+    b = np.asarray(greedy_suppress_fixpoint(jnp.asarray(iou),
+                                            jnp.asarray(valid), 0.5))
+    np.testing.assert_array_equal(a, b)
+    # chain semantics: evens kept, odds suppressed
+    np.testing.assert_array_equal(b, np.arange(k) % 2 == 0)

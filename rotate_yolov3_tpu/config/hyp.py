@@ -26,6 +26,11 @@ class Hyp:
     obj_pw: float = 1.0      # obj BCE positive weight
     # matching
     iou_t: float = 0.2       # min anchor-fit score to assign a GT
+    # objectness ignore region: False = darknet box_iou semantics
+    # (axis-aligned (cx,cy,w,h), theta ignored — what the lineage's C/py
+    # ignore mask computes, ~1 ms/step); True = exact rotated skew-IoU
+    # over the whole grid (~0.7 s/step at 608 bs8, docs/PERF.md)
+    rotated_ignore: bool = False
     # augmentation (reference HSV/affine gains, SURVEY.md §2 "augmentation")
     hsv_h: float = 0.0138
     hsv_s: float = 0.678

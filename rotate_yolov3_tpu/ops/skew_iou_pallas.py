@@ -355,6 +355,32 @@ def skew_iou_matrix_auto(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return skew_iou_matrix(a, b)
 
 
+def skew_iou_elementwise(b1: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
+    """Exact elementwise skew-IoU via the kernel's sort-free formulation.
+
+    Same math as ``ops.skew_iou.skew_iou`` but ordered by the 8-slot
+    compaction + rank-sort of this module instead of ``jnp.argsort`` +
+    ``arctan2`` — plain jnp, usable on any backend. Built for the
+    training objectness-ignore pass: executing the argsort-based IoU
+    repeatedly inside a ``lax.scan`` at (B,H,W,na) grid scale reproducibly
+    CRASHES this TPU backend's worker (isolated in train/loss.py's
+    docstring), while this sort-free form is stable. Not differentiable
+    (hard selects); the loss's regression term keeps the argsort path.
+    """
+    b1, b2 = jnp.broadcast_arrays(b1.astype(jnp.float32),
+                                  b2.astype(jnp.float32))
+    ax, ay = _corners(b1[..., 0], b1[..., 1], b1[..., 2], b1[..., 3],
+                      b1[..., 4])
+    bx, by = _corners(b2[..., 0], b2[..., 1], b2[..., 2], b2[..., 3],
+                      b2[..., 4])
+    px, py, valid = _candidates(ax, ay, bx, by)
+    inter = _area_from_candidates(px, py, valid)
+    a1 = b1[..., 2] * b1[..., 3]
+    a2 = b2[..., 2] * b2[..., 3]
+    inter = jnp.minimum(inter, jnp.minimum(a1, a2))
+    return inter / (a1 + a2 - inter + _EPS)
+
+
 def skew_iou_matrix_auto_nms(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """IoU matrix for greedy NMS: upper triangle exact, rest unspecified.
 

@@ -43,29 +43,65 @@ def _masked_mean(x, mask):
     return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+def _aabb_iou(b1: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
+    """Axis-aligned IoU of center-format (..., 4) = (cx, cy, w, h) boxes —
+    darknet's ``box_iou``, which has no angle term."""
+    half1 = b1[..., 2:4] * 0.5
+    half2 = b2[..., 2:4] * 0.5
+    lo = jnp.maximum(b1[..., 0:2] - half1, b2[..., 0:2] - half2)
+    hi = jnp.minimum(b1[..., 0:2] + half1, b2[..., 0:2] + half2)
+    wh = jnp.maximum(hi - lo, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = (b1[..., 2] * b1[..., 3] + b2[..., 2] * b2[..., 3] - inter)
+    return inter / (union + 1e-9)
+
+
 def objectness_ignore(raw: jnp.ndarray, gt_boxes: jnp.ndarray,
-                      spec: YoloSpec) -> jnp.ndarray:
+                      spec: YoloSpec,
+                      rotated: bool = False) -> jnp.ndarray:
     """Darknet grid-wide objectness ignore region: (B, H, W, na) bool.
 
     A prediction ANYWHERE on the grid whose decoded box overlaps any GT
-    with skew-IoU > ``spec.ignore_thresh`` is excluded from the no-object
+    with IoU > ``spec.ignore_thresh`` is excluded from the no-object
     penalty (reference ``compute_loss`` ignore-threshold masking,
     SURVEY.md §2 "loss") — suppressing e.g. neighbour cells half-covering a
     large object, which are plausible detections, not hard negatives.
 
+    ``rotated=False`` (default, ``Hyp.rotated_ignore``) uses darknet
+    ``box_iou`` semantics: axis-aligned (cx, cy, w, h), theta ignored —
+    exactly what the lineage's ignore mask computes, and ~1 ms/step.
+    ``rotated=True`` uses exact rotated skew-IoU instead; measured
+    0.68 s/step at 608 px bs8 (the exact polygon math over every grid
+    cell), so it is an accuracy experiment, not the default.
+
     ``gt_boxes`` is the padded (B, G, 5) pixel-box tensor; padding rows are
     zero-area so their IoU is 0 by definition and they never ignore
     anything. The G axis is scanned sequentially: peak memory stays at one
-    (B, H, W, na) IoU grid instead of G of them, and the per-step work is
-    pure fused elementwise math on the VPU.
+    (B, H, W, na) IoU grid instead of G of them.
+
+    The rotated path uses the SORT-FREE exact formulation
+    (``ops.skew_iou_pallas.skew_iou_elementwise``): executing the
+    argsort-based ``ops.skew_iou.skew_iou`` repeatedly inside this scan at
+    608-px stride-8 grid scale (8·76·76·18 ≈ 832k boxes per step)
+    reproducibly CRASHED the TPU worker ("kernel fault" — isolated to the
+    scan-around-argsort structure: the same evaluation as a single call
+    succeeds, and the sort-free form is stable). The mask is
+    stop-gradient anyway, so the non-differentiable ordering is free.
     """
     pred = decode_boxes_grid(
         jax.lax.stop_gradient(reshape_head(raw, spec).astype(jnp.float32)),
         spec)                                         # (B, H, W, na, 5)
 
-    def body(best, gt_g):                             # gt_g: (B, 5)
-        iou = skew_iou(pred, gt_g[:, None, None, None, :])
-        return jnp.maximum(best, iou), None
+    if rotated:
+        from ..ops.skew_iou_pallas import skew_iou_elementwise
+
+        def body(best, gt_g):                         # gt_g: (B, 5)
+            iou = skew_iou_elementwise(pred, gt_g[:, None, None, None, :])
+            return jnp.maximum(best, iou), None
+    else:
+        def body(best, gt_g):
+            iou = _aabb_iou(pred[..., :4], gt_g[:, None, None, None, :4])
+            return jnp.maximum(best, iou), None
 
     init = jnp.zeros(pred.shape[:-1], jnp.float32)
     best, _ = jax.lax.scan(body, init, jnp.swapaxes(gt_boxes, 0, 1))
@@ -131,7 +167,8 @@ def compute_loss_head(raw: jnp.ndarray, tgt: HeadTargets, spec: YoloSpec,
     # regardless of grid size.
     obj_logits = p[..., 5]
     bce = _bce_logits(obj_logits, tgt.obj_target, hyp.obj_pw)
-    ignore = objectness_ignore(raw, tgt.tbox_abs, spec).astype(p.dtype)
+    ignore = objectness_ignore(raw, tgt.tbox_abs, spec,
+                               rotated=hyp.rotated_ignore).astype(p.dtype)
     pos_mask = tgt.obj_target
     neg_mask = (1.0 - tgt.obj_target) * (1.0 - ignore)
     lobj = _masked_mean(bce, neg_mask) + _masked_mean(bce, pos_mask)

@@ -107,7 +107,7 @@ def test_objectness_ignore_matches_numpy_oracle():
 
     got = np.asarray(objectness_ignore(
         jnp.asarray(raw), jnp.asarray(t[:, :, 1:6] * [IMG, IMG, IMG, IMG, 1]),
-        spec))[0]
+        spec, rotated=True))[0]
 
     # independent numpy decode + Sutherland-Hodgman IoU
     anchors_wh, anchor_angles = head_anchors(spec)
@@ -250,3 +250,51 @@ def test_loss_batch_with_empty_image():
     assert np.isfinite(float(total))
     g = jax.grad(lambda r: compute_loss([r], t, v, [spec], IMG)[0])(raw)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_objectness_ignore_axis_aligned_default_matches_oracle():
+    """Default ignore semantics = darknet box_iou: axis-aligned
+    (cx, cy, w, h) IoU of the decoded prediction vs GT, theta ignored —
+    cross-checked against an independent numpy re-implementation."""
+    from rotate_yolov3_tpu.models.yolo_head import (ANGLE_RANGE,
+                                                    head_anchors)
+    from rotate_yolov3_tpu.train.loss import objectness_ignore
+
+    spec = _spec(ignore=0.4)
+    g = IMG // spec.stride
+    rng = np.random.default_rng(1)
+    raw = rng.normal(0, 0.7, (1, g, g, spec.na * spec.no)).astype(np.float32)
+    t = np.zeros((1, 4, 6), np.float32)
+    t[0, 0] = [0, 20 / IMG, 20 / IMG, 18 / IMG, 9 / IMG, 0.2]
+    t[0, 1] = [0, 44 / IMG, 40 / IMG, 34 / IMG, 30 / IMG, -0.5]
+    gt_px = t[0, :, 1:6].copy()
+    gt_px[:, :4] *= IMG
+
+    got = np.asarray(objectness_ignore(
+        jnp.asarray(raw), jnp.asarray(t[:, :, 1:6] * [IMG, IMG, IMG, IMG, 1]),
+        spec))[0]
+
+    def aabb_iou(b1, b2):
+        lo = np.maximum(b1[:2] - b1[2:4] / 2, b2[:2] - b2[2:4] / 2)
+        hi = np.minimum(b1[:2] + b1[2:4] / 2, b2[:2] + b2[2:4] / 2)
+        wh = np.maximum(hi - lo, 0.0)
+        inter = wh[0] * wh[1]
+        return inter / (b1[2] * b1[3] + b2[2] * b2[3] - inter + 1e-9)
+
+    anchors_wh, anchor_angles = head_anchors(spec)
+    p = raw.reshape(g, g, spec.na, spec.no)
+    want = np.zeros((g, g, spec.na), bool)
+    sig = lambda z: 1 / (1 + np.exp(-z))
+    for gy in range(g):
+        for gx in range(g):
+            for a in range(spec.na):
+                tx, ty, tw, th_, _ = p[gy, gx, a, :5]
+                box = np.array([
+                    (sig(tx) + gx) * spec.stride,
+                    (sig(ty) + gy) * spec.stride,
+                    anchors_wh[a, 0] * np.exp(np.clip(tw, -8, 8)),
+                    anchors_wh[a, 1] * np.exp(np.clip(th_, -8, 8))])
+                best = max(aabb_iou(box, gtb[:4]) for gtb in gt_px[:2])
+                want[gy, gx, a] = best > spec.ignore_thresh
+    assert want.sum() > 0
+    np.testing.assert_array_equal(got, want)

@@ -175,3 +175,29 @@ def test_normalize_angle():
     th = jnp.asarray([0.0, np.pi, -np.pi, np.pi / 2, 2.1 * np.pi])
     out = np.asarray(normalize_angle(th))
     assert np.all(out >= -np.pi / 2 - 1e-6) and np.all(out < np.pi / 2 + 1e-6)
+
+
+def test_sortfree_elementwise_matches_argsort_path():
+    """ops.skew_iou_pallas.skew_iou_elementwise (the sort-free form the
+    objectness-ignore scan uses — the argsort form inside lax.scan faults
+    the TPU backend) must match the argsort-based skew_iou everywhere,
+    incl. parallel-edge and identical-box degeneracies."""
+    import jax.numpy as jnp
+
+    from rotate_yolov3_tpu.ops.skew_iou import skew_iou
+    from rotate_yolov3_tpu.ops.skew_iou_pallas import skew_iou_elementwise
+
+    rng = np.random.default_rng(11)
+    n = 800
+    mk = lambda: np.stack([
+        rng.uniform(0, 600, n), rng.uniform(0, 600, n),
+        rng.uniform(5, 200, n), rng.uniform(5, 200, n),
+        rng.uniform(-3, 3, n)], axis=1).astype(np.float32)
+    b1, b2 = mk(), mk()
+    # same-angle shifted pairs (parallel edges) and identical pairs
+    b2[:200] = b1[:200]
+    b2[200:400, 4] = b1[200:400, 4]
+    a = np.asarray(skew_iou(jnp.asarray(b1), jnp.asarray(b2)))
+    b = np.asarray(skew_iou_elementwise(jnp.asarray(b1), jnp.asarray(b2)))
+    np.testing.assert_allclose(a, b, atol=2e-3)
+    np.testing.assert_allclose(b[:200], 1.0, atol=1e-3)  # identical pairs

@@ -52,7 +52,7 @@ def train(opt):
     module_defs = parse_model_cfg(opt.cfg)
     spec = build_network(module_defs, img_size=opt.img_size)
     net = spec.hyperparams()
-    hyp = Hyp()
+    hyp = Hyp(rotated_ignore=opt.rotated_ignore)
 
     params, state = init_params(spec, jax.random.PRNGKey(opt.seed))
     if opt.weights:
@@ -230,6 +230,10 @@ def make_parser():
                    help="data-parallel over N devices (0 = single)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--rotated-ignore", action="store_true",
+                   help="exact rotated skew-IoU for the objectness ignore "
+                        "region instead of darknet's axis-aligned box_iou "
+                        "(accuracy experiment; ~13x slower train step)")
     p.add_argument("--device-aug", action="store_true",
                    help="fuse mosaic/rotation/flip/HSV augmentation into "
                         "the jitted train step (on-device)")

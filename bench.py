@@ -2,12 +2,15 @@
 """Benchmark: 608x608 end-to-end inference throughput (images/sec/chip).
 
 Measures THE PRODUCT PATH: the exact jitted function ``Detector`` runs for
-detect.py / test.py / dota.py (``Detector.infer_fn`` — bf16 packed-stem
-Darknet-53, rotated decode via score-first exact top-k, fixed-shape rotated
-NMS with the Pallas skew-IoU kernel), scanned K times inside one XLA
-program. Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
-vs_baseline = value / 1000 (the driver-set >=1000 img/s/chip target —
-BASELINE.md records that no published reference numbers were recoverable).
+detect.py (``Detector.infer_fn`` at the product defaults — bf16 CANONICAL-
+stem Darknet-53 (packed stem measured slower, docs/PERF.md), score-first
+APPROX top-k (detect.py's TPU default; test.py/dota.py default exact),
+fixed-shape rotated NMS with the Pallas skew-IoU kernel), scanned K times
+inside one XLA program. Prints ONE JSON line {"metric", "value", "unit",
+"vs_baseline"}; vs_baseline = value / 1000 (the driver-set >=1000
+img/s/chip target — BASELINE.md records that no published reference numbers
+were recoverable). ``python bench.py <batch> <max_det>`` benches other
+capacities (512 = the dota.py dense-tile configuration).
 
 Measurement notes (this machine's axon TPU tunnel):
   * `block_until_ready` does NOT synchronize remote execution, and repeated
@@ -98,9 +101,13 @@ def bench(batch_size: int = 128, scan_iters: int = 16, trials: int = 2,
 
 if __name__ == "__main__":
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    ips = bench(batch_size=bs, verbose=True)
+    md = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    ips = bench(batch_size=bs, max_det=md, verbose=True)
+    metric = "608x608_inference_throughput"
+    if md != 128:
+        metric += f"_maxdet{md}"
     print(json.dumps({
-        "metric": "608x608_inference_throughput",
+        "metric": metric,
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / 1000.0, 4),

@@ -43,7 +43,7 @@ def cmd_detect(opt):
                    nms_thres=opt.nms_thres, max_det=opt.max_det,
                    devices=opt.devices,
                    compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32,
-                   approx_top_k=False if opt.exact_topk else None)
+                   approx_top_k=True if opt.approx_topk else False)
     os.makedirs(opt.out, exist_ok=True)
     loader = LoadImages(opt.tiles, img_size=det.img_size)
     n = 0
@@ -129,8 +129,12 @@ def make_parser():
     pd.add_argument("--max-det", type=int, default=512)
     pd.add_argument("--devices", type=int, default=0,
                     help="shard tile batches over N devices (0 = single)")
-    pd.add_argument("--exact-topk", action="store_true",
-                    help="exact pre-NMS top-k (default: approx on TPU)")
+    pd.add_argument("--approx-topk", action="store_true",
+                    help="approximate pre-NMS top-k for throughput. DOTA "
+                        "tiles are the dense adjacent-object regime where "
+                        "approx_max_k's contiguous reduction bins can drop "
+                        "one of two neighbouring objects pre-NMS, so the "
+                        "accuracy-bearing default is exact")
     pd.add_argument("--bf16", action="store_true")
     pd.add_argument("--device", type=str, default="")
     pd.set_defaults(fn=cmd_detect)

@@ -19,19 +19,27 @@ from .metrics import match_image, summarize
 
 
 def evaluate_dataset(detector, list_path: str, batch_size: int = 8,
-                     iou_thr: float = 0.5, conf_thres: float = None,
+                     iou_thr: float = 0.5,
                      max_images: Optional[int] = None,
                      names: Sequence[str] = (),
-                     method: str = "continuous") -> Dict[str, object]:
+                     method: str = "continuous",
+                     max_gt: int = 512) -> Dict[str, object]:
     """Evaluate a Detector over an image-list dataset.
 
     Ground truth is loaded through the same ``LoadImagesAndLabels`` pipeline
     (augment off) so letterboxing matches inference exactly.
+
+    ``max_gt`` is the per-image GT capacity of the fixed-shape batch; any
+    image with more labels is truncated, which silently inflates mAP (the
+    dropped GT can't be missed), so truncation is counted and reported
+    LOUDLY via stderr + the ``n_gt_truncated`` result field.
     """
+    import sys
+
     img_size = detector.img_size
     ds = LoadImagesAndLabels(list_path, img_size=img_size,
                              batch_size=batch_size, augment=False,
-                             max_gt=256, drop_last=False, prefetch=2)
+                             max_gt=max_gt, drop_last=False, prefetch=2)
     stats = []
     n_done = 0
     for imgs, tgts, valid in ds:
@@ -64,6 +72,13 @@ def evaluate_dataset(detector, list_path: str, batch_size: int = 8,
     result = summarize(stats, names=names, method=method)
     result["n_images"] = n_done
     result["n_gt"] = int(sum(len(s[3]) for s in stats))
+    result["n_gt_truncated"] = int(ds.truncated_labels)
+    if ds.truncated_labels:
+        print(
+            f"WARNING: {ds.truncated_labels} ground-truth boxes across "
+            f"{ds.truncated_images} images exceeded max_gt={max_gt} and "
+            f"were DROPPED from matching — the reported mAP is inflated. "
+            f"Re-run with a larger --max-gt.", file=sys.stderr)
     return result
 
 

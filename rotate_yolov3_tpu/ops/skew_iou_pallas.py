@@ -151,11 +151,20 @@ def _area_from_candidates(px, py, valid):
     Candidates beyond the 8th valid slot are dropped. More than 8 valid
     candidates requires duplicate hits (a vertex of one rect within the
     1e-6 intersection tolerance of the other's edge — true distinct
-    vertices are ≤ 8 by the convexity bound), and the list order
-    (edge-edge intersections first) keeps the true polygon vertices in
-    exactly those degenerate configurations: near-identical boxes produce
-    their 8 edge-edge hull vertices at the head of the list, with the
-    tol-inside corner duplicates behind them.
+    vertices are ≤ 8 by the convexity bound). The list order (edge-edge
+    intersections first) keeps the true vertices in the common degenerate
+    configurations — e.g. near-identical boxes, whose 8 edge-edge hull
+    vertices head the list with the tol-inside corner duplicates behind
+    them. This is NOT airtight for every measure-zero configuration: a
+    corner of A touching B's edge (within tol) while the intersection has
+    8 distinct vertices including B-corners deep inside A can fill the 8
+    slots with edge-edge duplicates of the touching vertex and drop a true
+    B-corner — a geometry-dependent underestimate. Such configurations
+    need an exact tol-coincidence between independent rotated boxes
+    (measure-zero under any continuous distribution; never observed in
+    randomized cross-checks vs the oracle). tests/test_pallas.py pins the
+    constructed corner-touch case at its current (small) error so a future
+    change that widens the gap is caught.
 
     Implementation detail: the prefix/rank/gather stages are STATIC Python
     loops rather than broadcast tensor ops — broadcast temporaries of

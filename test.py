@@ -32,11 +32,11 @@ def test(opt):
         conf_thres=opt.conf_thres, nms_thres=opt.nms_thres,
         max_det=opt.max_det, devices=opt.devices,
         compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32,
-        approx_top_k=False if opt.exact_topk else None)
+        approx_top_k=True if opt.approx_topk else False)
     result = evaluate_dataset(
         det, data_cfg["valid"], batch_size=opt.batch_size,
         iou_thr=opt.iou_thres, names=names, method=opt.ap_method,
-        max_images=opt.max_images)
+        max_images=opt.max_images, max_gt=opt.max_gt)
     print_eval_table(result)
     return result["mp"], result["mr"], result["map"]
 
@@ -52,15 +52,25 @@ def make_parser():
     p.add_argument("--nms-thres", type=float, default=0.4)
     p.add_argument("--iou-thres", type=float, default=0.5,
                    help="matching IoU for TP")
-    p.add_argument("--max-det", type=int, default=128,
-                   help="detection capacity; NMS cost ~O(n^2), use 512 for dense scenes")
+    p.add_argument("--max-det", type=int, default=512,
+                   help="detection capacity; NMS cost ~O(n^2). Eval keeps "
+                        "the dense-scene 512 so mAP is never silently "
+                        "capped (detect.py defaults 128 for speed)")
+    p.add_argument("--max-gt", type=int, default=512,
+                   help="per-image GT capacity for matching; a loud warning "
+                        "is printed if any image exceeds it")
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--ap-method", choices=["continuous", "11point"],
                    default="continuous")
     p.add_argument("--devices", type=int, default=0,
                    help="shard eval batches over N devices (0 = single)")
-    p.add_argument("--exact-topk", action="store_true",
-                   help="exact pre-NMS top-k (default: approx on TPU)")
+    p.add_argument("--approx-topk", action="store_true",
+                   help="approximate pre-NMS top-k (lax.approx_max_k) for "
+                        "throughput. Eval defaults to EXACT top-k on every "
+                        "backend: this is the parity-measurement tool, and "
+                        "approx_max_k can drop one of two adjacent "
+                        "high-scoring objects that land in one reduction "
+                        "bin — noise a +-0.5 mAP comparison cannot afford")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--device", type=str, default="",
                    help="jax platform override (cpu/tpu)")

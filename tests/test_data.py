@@ -163,3 +163,105 @@ def test_dataset_net_input_is_rgb(tmp_path):
                              augment=False, prefetch=0)
     imgs, tgts, valid = next(iter(ds))
     assert imgs[0, 32, 32, 2] == 200 and imgs[0, 32, 32, 0] == 0   # RGB
+
+
+def test_loader_caches_match_uncached_and_invalidate(tmp_path):
+    """RAM/disk image caches + label cache must be bit-identical to the
+    uncached path, survive epochs, and invalidate when files change."""
+    import time
+
+    list_path = make_synthetic_dataset(str(tmp_path), n_images=4,
+                                       img_size=(100, 120), seed=9)
+
+    def all_batches(**kw):
+        ds = LoadImagesAndLabels(list_path, img_size=64, batch_size=2,
+                                 augment=False, max_gt=16, prefetch=0, **kw)
+        return ds, [tuple(np.copy(a) for a in b) for b in iter(ds)]
+
+    _, ref = all_batches(cache_images="", cache_labels=False)
+    for mode in ("ram", "disk"):
+        ds, got = all_batches(cache_images=mode)
+        for (ri, rt, rv), (gi, gt, gv) in zip(ref, got):
+            np.testing.assert_array_equal(ri, gi)
+            np.testing.assert_array_equal(rt, gt)
+            np.testing.assert_array_equal(rv, gv)
+        # epoch 2 hits the cache; content identical (augment off)
+        got2 = [tuple(np.copy(a) for a in b) for b in iter(ds)]
+        for (ri, _, _), (gi, _, _) in zip(ref, got2):
+            np.testing.assert_array_equal(ri, gi)
+    # disk sidecars exist now
+    sidecars = [p + ".cache.npy" for p in
+                open(list_path).read().split()]
+    sidecars = [s if os.path.isabs(s) else
+                os.path.join(os.path.dirname(list_path), s)
+                for s in sidecars]
+    assert all(os.path.exists(s) for s in sidecars)
+
+    # --- invalidation: rewrite image 0 + its label, caches must refresh ---
+    import cv2
+    img_path = open(list_path).read().split()[0]
+    if not os.path.isabs(img_path):
+        img_path = os.path.join(os.path.dirname(list_path), img_path)
+    lbl_path = img_path.replace(os.sep + "images" + os.sep,
+                                os.sep + "labels" + os.sep)
+    lbl_path = lbl_path.rsplit(".", 1)[0] + ".txt"
+
+    for mode in ("ram", "disk"):
+        ds = LoadImagesAndLabels(list_path, img_size=64, batch_size=2,
+                                 augment=False, max_gt=16, prefetch=0,
+                                 cache_images=mode)
+        _ = list(iter(ds))                       # populate caches
+        time.sleep(0.01)
+        cv2.imwrite(img_path, np.full((100, 120, 3), 200, np.uint8))
+        with open(lbl_path, "w") as f:
+            f.write("0 0.5 0.5 0.25 0.125 0.3\n")
+        now = time.time() + 1                    # force mtime forward even
+        os.utime(img_path, (now, now))           # on coarse filesystems
+        os.utime(lbl_path, (now, now))
+        imgs, tgts, valid = ds._make_batch([0])
+        assert imgs.mean() > 150                 # new image content seen
+        assert valid[0].sum() == 1               # new single-row label seen
+        # cls and theta pass through letterboxing unchanged
+        assert tgts[0, 0, 0] == 0.0
+        np.testing.assert_allclose(tgts[0, 0, 5], 0.3, atol=1e-6)
+
+
+def test_loader_multi_worker_order_and_determinism(tmp_path):
+    """The ordered worker pool must yield identical batches in identical
+    order regardless of worker count."""
+    list_path = make_synthetic_dataset(str(tmp_path), n_images=8, seed=2)
+
+    def run(workers):
+        ds = LoadImagesAndLabels(list_path, img_size=64, batch_size=2,
+                                 augment=True, hyp=Hyp(), max_gt=8, seed=5,
+                                 prefetch=2, workers=workers)
+        ds.set_epoch(3)
+        return [tuple(np.copy(a) for a in b) for b in iter(ds)]
+
+    one = run(1)
+    four = run(4)
+    assert len(one) == len(four) == 4
+    for b1, b4 in zip(one, four):
+        for x, y in zip(b1, b4):
+            np.testing.assert_array_equal(x, y)
+
+
+def test_loader_multi_scale_per_interval(tmp_path):
+    """random=1 semantics: at interval=1 an epoch must see >=2 distinct
+    sizes; within an interval the size is constant; draws are deterministic
+    per epoch; normalized labels are size-independent."""
+    list_path = make_synthetic_dataset(str(tmp_path), n_images=16, seed=4)
+    ds = LoadImagesAndLabels(list_path, img_size=96, batch_size=2,
+                             augment=False, max_gt=8, seed=0, prefetch=0)
+    ds.set_multi_scale([64, 96, 128], interval=2)
+    ds.set_epoch(0)
+    sizes = [b[0].shape[1] for b in iter(ds)]
+    assert len(sizes) == 8
+    assert len(set(sizes)) >= 2                 # actually multi-scale
+    for k in range(0, 8, 2):
+        assert sizes[k] == sizes[k + 1]         # constant within interval
+    ds.set_epoch(0)
+    assert [b[0].shape[1] for b in iter(ds)] == sizes   # deterministic
+    # disabling returns to the fixed size
+    ds.set_multi_scale(None)
+    assert all(b[0].shape[1] == 96 for b in iter(ds))

@@ -87,6 +87,59 @@ def test_summarize_empty():
     assert summarize([])["map"] == 0.0
 
 
+def test_evaluate_dataset_dense_gt_truncation_warns(tmp_path, capsys):
+    """GT beyond ``max_gt`` must be counted and warned about LOUDLY —
+    silent truncation drops unmatched GT and inflates mAP (the r2
+    evaluator hardcoded max_gt=256 with no warning)."""
+    import os
+
+    from rotate_yolov3_tpu.data.synthetic import make_synthetic_dataset
+    from rotate_yolov3_tpu.detector import Detector
+    from rotate_yolov3_tpu.eval.evaluator import evaluate_dataset
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tiny = os.path.join(root, "cfg/yolov3-rotate-tiny.cfg")
+    list_path = make_synthetic_dataset(str(tmp_path), n_images=2,
+                                       img_size=(96, 96), n_boxes=(12, 12),
+                                       seed=5)
+    det = Detector(tiny, img_size=96, conf_thres=0.2, max_det=16)
+
+    result = evaluate_dataset(det, list_path, batch_size=2, names=["obj"],
+                              max_gt=8)
+    assert result["n_gt_truncated"] == 2 * (12 - 8)
+    assert result["n_gt"] == 2 * 8          # only the kept GT is matchable
+    assert "DROPPED" in capsys.readouterr().err
+
+    # with enough capacity: no truncation, no warning, full GT counted
+    result = evaluate_dataset(det, list_path, batch_size=2, names=["obj"],
+                              max_gt=32)
+    assert result["n_gt_truncated"] == 0
+    assert result["n_gt"] == 2 * 12
+    assert "DROPPED" not in capsys.readouterr().err
+
+
+def test_eval_cli_defaults_are_accuracy_bearing():
+    """test.py / dota.py detect must default to EXACT top-k and dense
+    capacity: approx_max_k's contiguous reduction bins can drop one of two
+    adjacent high-scoring objects pre-NMS (the dense regime eval measures),
+    and max_det=128 silently caps mAP on >128-object scenes."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import test as test_cli
+    import dota as dota_cli
+
+    opt = test_cli.make_parser().parse_args(["--cfg", "c", "--data", "d"])
+    assert opt.max_det == 512
+    assert opt.approx_topk is False
+    # the wiring in test.py: approx_top_k = True if opt.approx_topk else False
+    assert (True if opt.approx_topk else False) is False
+
+    opt = dota_cli.make_parser().parse_args(
+        ["detect", "--cfg", "c", "--tiles", "t", "--out", "o"])
+    assert opt.max_det == 512
+    assert opt.approx_topk is False
+
+
 def test_evaluate_dataset_ragged_tail_single_compile(tmp_path):
     """A val set with n % batch_size != 0 must NOT trigger a second jit
     compile of the detector (the ragged-final-batch remote-recompile trap,

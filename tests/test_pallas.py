@@ -64,6 +64,60 @@ def test_pallas_degenerate_parallel_and_duplicate_boxes():
     np.testing.assert_allclose(ours, ref, atol=2e-3)
 
 
+def test_compaction_corner_touch_plus_interior_corners():
+    """Regression for the 8-slot compaction's non-airtight configuration
+    (ADVICE r2): a corner of A exactly ON B's edge (tol-coincident, so it
+    mints edge-edge duplicate candidates) while corners of B sit deep
+    inside A. The constructed cases and a randomized projected-corner-touch
+    family are pinned against the argsort path (which orders all 24
+    candidates and cannot drop any): a future change that widens the
+    compaction's error on these degenerate configs fails here."""
+    from rotate_yolov3_tpu.ops.skew_iou import skew_iou
+    from rotate_yolov3_tpu.ops.skew_iou_pallas import skew_iou_elementwise
+
+    # Deterministic: B = axis-aligned 2x2 square at origin; A = 45-deg
+    # square whose right corner touches B's right edge exactly at (1, 0)
+    # while B's left corners (-1, +-1) are deep inside A.
+    s2 = float(np.sqrt(2.0))
+    cases_a = np.array([
+        [-1.0, 0.0, 2.0 * s2, 2.0 * s2, np.pi / 4],   # diamond half-diag 2
+        [-0.7, 0.0, 1.7 * s2, 1.7 * s2, np.pi / 4],   # half-diag 1.7
+    ], np.float32)
+    b = np.array([[0.0, 0.0, 2.0, 2.0, 0.0]], np.float32)
+    for a in cases_a:
+        got = float(skew_iou_elementwise(jnp.asarray(a), jnp.asarray(b[0])))
+        ref = float(skew_iou(jnp.asarray(a), jnp.asarray(b[0])))
+        assert abs(got - ref) < 2e-3, (a, got, ref)
+
+    # Randomized family: random rect pairs where one corner of A is
+    # translated to lie EXACTLY on an edge of B (projected touch), random
+    # sizes/angles — sweeps many touch-plus-interior-corner topologies.
+    rng = np.random.default_rng(11)
+    n = 256
+    bs = _random_boxes(rng, n, spread=10.0)
+    as_ = _random_boxes(rng, n, spread=10.0)
+    from rotate_yolov3_tpu.ops.boxes import rbox_corners
+    bc = np.asarray(rbox_corners(jnp.asarray(bs)))      # (n, 4, 2)
+    ac = np.asarray(rbox_corners(jnp.asarray(as_)))
+    for i in range(n):
+        # project A's corner 0 onto B's edge 0->1, translate A so it lands
+        p, q = bc[i, 0], bc[i, 1]
+        e = q - p
+        t = rng.uniform(0.1, 0.9)
+        target = p + t * e
+        as_[i, :2] += target - ac[i, 0]
+    got = np.asarray(skew_iou_elementwise(jnp.asarray(as_), jnp.asarray(bs)))
+    ref = np.asarray(skew_iou(jnp.asarray(as_), jnp.asarray(bs)))
+    err = np.abs(got - ref)
+    # PIN, don't hide: this family DOES realise the overflow drop — with
+    # seed 11, exactly 1/256 exact-touch configs loses a true vertex for an
+    # IoU error of 0.034 (the docstring's "geometry-dependent, not
+    # tolerance-bounded" caveat made measurable). The bounds below pin the
+    # current behavior; a change that widens the drop rate or error fails.
+    assert err.max() < 0.05, err.max()
+    assert (err > 5e-3).sum() <= 2, (err > 5e-3).sum()
+
+
 def test_pallas_large_random_sweep_vs_reference():
     """Wider randomized sweep incl. same-angle pairs (parallel edges)."""
     rng = np.random.default_rng(4)

@@ -64,7 +64,8 @@ def train(opt):
     dataset = LoadImagesAndLabels(
         data_cfg["train"], img_size=spec.img_size,
         batch_size=opt.batch_size, augment=not opt.no_augment, hyp=hyp,
-        max_gt=opt.max_gt, seed=opt.seed)
+        max_gt=opt.max_gt, seed=opt.seed,
+        cache_images=opt.cache_images, workers=opt.workers)
     steps_per_epoch = len(dataset)
     if steps_per_epoch == 0:
         raise ValueError("dataset smaller than one batch")
@@ -134,9 +135,12 @@ def train(opt):
         base = spec.img_size
         scale_sizes = sorted({max(32, (int(base * s) // 32) * 32)
                               for s in np.linspace(0.67, 1.5, 8)})
-        print(f"multi-scale sizes: {scale_sizes}")
-    else:
-        scale_sizes = [spec.img_size]
+        # reference random=1 semantics: a new size draw every ~10 batches
+        # (not per epoch) — the dataset draws deterministically per batch
+        # index and the loop keys the jitted step off the batch shape
+        dataset.set_multi_scale(scale_sizes, interval=opt.ms_interval)
+        print(f"multi-scale sizes: {scale_sizes} "
+              f"(every {opt.ms_interval} batches)")
 
     os.makedirs(opt.out_dir, exist_ok=True)
     results_path = os.path.join(opt.out_dir, "results.txt")
@@ -152,15 +156,13 @@ def train(opt):
 
     for epoch in range(start_epoch, opt.epochs):
         dataset.set_epoch(epoch)
-        size = scale_sizes[
-            np.random.default_rng((opt.seed, epoch)).integers(
-                len(scale_sizes))] if opt.multi_scale else scale_sizes[0]
-        dataset.img_size = size
-        step_fn = step_fn_for(size)
         t0 = time.time()
         agg = {}
         n_steps = 0
         for batch in dataset:
+            # per-size jitted step, keyed off the batch shape (multi-scale
+            # draws a new size every ms_interval batches; one compile/size)
+            step_fn = step_fn_for(int(batch[0].shape[1]))
             imgs, tgts, valid = put(batch)
             ts, metrics = step_fn(ts, imgs, tgts, valid)
             n_steps += 1
@@ -238,8 +240,16 @@ def make_parser():
                    help="fuse mosaic/rotation/flip/HSV augmentation into "
                         "the jitted train step (on-device)")
     p.add_argument("--multi-scale", action="store_true",
-                   help="vary net input size per epoch (0.67x-1.5x, /32) — "
-                        "the reference's random=1 cfg behavior")
+                   help="vary net input size every --ms-interval batches "
+                        "(0.67x-1.5x, /32) — the reference's random=1 cfg "
+                        "behavior")
+    p.add_argument("--ms-interval", type=int, default=10,
+                   help="batches between multi-scale size draws")
+    p.add_argument("--cache-images", choices=["", "ram", "disk"], default="",
+                   help="cache decoded images in RAM or as .npy sidecars "
+                        "(host decode dominates epochs on slow hosts)")
+    p.add_argument("--workers", type=int, default=1,
+                   help="host prefetch worker threads")
     p.add_argument("--no-eval", action="store_true")
     p.add_argument("--eval-max-images", type=int, default=None)
     p.add_argument("--conf-thres", type=float, default=0.1)

@@ -68,7 +68,18 @@ def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
 
 def hsv_jitter(key, img: jnp.ndarray, h_gain: float, s_gain: float,
                v_gain: float) -> jnp.ndarray:
-    """Random HSV gains on one (H, W, 3) float image in [0, 1]."""
+    """Random HSV gains on one (H, W, 3) float image in [0, 1].
+
+    DOCUMENTED divergence from the host path (``data.augment.augment_hsv``,
+    which reproduces cv2's uint8 LUT math): hue here is multiplied in
+    continuous [0, 1) space with mod-1 wrap, where cv2 multiplies the
+    0..179 integer hue channel through a LUT with mod-180 wrap. Same
+    distribution family (multiplicative hue jitter with circular wrap),
+    different quantisation — s/v match to within uint8 rounding. Pinned by
+    tests/test_augment_device.py::test_hsv_device_vs_host_distribution;
+    kept divergent because an exact LUT emulation would quantise the
+    device path to uint8 mid-graph for no training benefit.
+    """
     r = jax.random.uniform(key, (3,), minval=-1.0, maxval=1.0)
     gains = 1.0 + r * jnp.asarray([h_gain, s_gain, v_gain])
     hsv = _rgb_to_hsv(img)
@@ -274,6 +285,78 @@ def _warp_rotate(img: jnp.ndarray, phi: jnp.ndarray, bits: int,
     return _shear(out, a * lines, axis=1, pad_value=pad_value, bits=bits)
 
 
+# ---------------------------------------------------------------------------
+# Gather-free scale + translate: separable MXU matmul resampling.
+#
+# An isotropic scale about the center plus a translation is SEPARABLE per
+# axis: out[y, x] = in[sy(y), sx(x)] with sy/sx affine in one coordinate.
+# A 1D affine resample is a linear map, i.e. a matmul with the 2-tap
+# bilinear matrix R[i, j] = max(0, 1 - |src_i - j|) — so the whole warp is
+# two (S, S) x (S, S·C) matmuls that run on the MXU (~2.7 GFLOP at 608²,
+# tens of µs) instead of per-pixel gathers (~40 cycles/element on this
+# backend, CLAUDE.md rule 5). Out-of-frame regions blend to the pad value
+# through the row coverage (1 - Σ_j R[i, j]), per axis, which composes
+# correctly across the two passes.
+# ---------------------------------------------------------------------------
+
+
+def _resample_matrix(size: int, s: jnp.ndarray, shift: jnp.ndarray):
+    """(S, S) bilinear resample matrix + (S,) coverage for the 1D affine
+    inverse map src(i) = (i - c - shift) / s + c (scale s about the
+    center, then shift pixels of translation)."""
+    c = (size - 1) / 2.0
+    idx = jnp.arange(size, dtype=jnp.float32)
+    src = (idx - c - shift) / s + c                   # (S,)
+    d = jnp.abs(src[:, None] - idx[None, :])          # (S, S)
+    r = jnp.maximum(0.0, 1.0 - d)
+    cov = jnp.sum(r, axis=1)
+    return r, cov
+
+
+def scale_translate(key, img: jnp.ndarray, targets: jnp.ndarray,
+                    valid: jnp.ndarray, scale: float, translate: float,
+                    pad_value: float = 0.5
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Random isotropic scale + translation of one (S, S, C) image via the
+    separable matmul resample (exact bilinear; no gathers).
+
+    Completes the on-device path to the reference ``random_affine``'s
+    parameter set (rotation + scale + translation, SURVEY.md §2
+    "augmentation"): composed after ``rotate_shear`` the full affine group
+    acts, with ``hyp.scale`` / ``hyp.translate`` semantics matching the
+    host path (scale factor U(1-s, 1+s), shift U(-t, t)·S pixels per
+    axis). Labels get the exact transform: centers mapped affinely, w/h
+    scaled, theta untouched (isotropic scale + translation preserve
+    orientation).
+    """
+    size = img.shape[0]
+    k1, k2 = jax.random.split(key)
+    s = jax.random.uniform(k1, (), minval=1.0 - scale, maxval=1.0 + scale)
+    shift = jax.random.uniform(k2, (2,), minval=-translate,
+                               maxval=translate) * size      # (sx, sy) px
+
+    ry, covy = _resample_matrix(size, s, shift[1])
+    rx, covx = _resample_matrix(size, s, shift[0])
+    # y pass: out[i, x, c] = sum_j ry[i, j] img[j, x, c] (+ pad fill)
+    tmp = jnp.einsum("ij,jxc->ixc", ry, img)
+    tmp = tmp + (1.0 - covy)[:, None, None] * pad_value
+    # x pass on the y-resampled image
+    out = jnp.einsum("xj,ijc->ixc", rx, tmp)
+    out = out + (1.0 - covx)[None, :, None] * pad_value
+
+    c = (size - 1) / 2.0
+    nx = (targets[:, 1] * size - c) * s + c + shift[0]
+    ny = (targets[:, 2] * size - c) * s + c + shift[1]
+    nw = targets[:, 3] * s
+    nh = targets[:, 4] * s
+    new_t = jnp.stack([targets[:, 0], nx / size, ny / size, nw, nh,
+                       targets[:, 5]], axis=1)
+    inside = ((nx / size > 0.0) & (nx / size < 1.0)
+              & (ny / size > 0.0) & (ny / size < 1.0))
+    new_valid = valid & inside
+    return out, jnp.where(new_valid[:, None], new_t, 0.0), new_valid
+
+
 def mosaic(key, imgs: jnp.ndarray, targets: jnp.ndarray, valid: jnp.ndarray,
            pad_value: float = 0.5
            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -321,25 +404,34 @@ def mosaic(key, imgs: jnp.ndarray, targets: jnp.ndarray, valid: jnp.ndarray,
 def augment_batch(key, imgs: jnp.ndarray, targets: jnp.ndarray,
                   valid: jnp.ndarray, hyp: Hyp = None,
                   use_mosaic: bool = True, use_hsv: bool = True,
-                  use_flip: bool = True, use_rotate: bool = True
+                  use_flip: bool = True, use_rotate: bool = True,
+                  use_scale_translate: bool = True
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full on-device augmentation for a (B, S, S, 3) float[0,1] batch.
 
-    Composes mosaic -> rotation/scale -> flip -> HSV inside one jit.
+    Composes mosaic -> rotation -> scale/translate -> flip -> HSV inside
+    one jit — the full reference ``random_affine`` parameter set
+    (rotation + scale + translation act via hyp.degrees/scale/translate).
     Returns (imgs, targets, valid) with the same shapes.
     """
     hyp = hyp or Hyp()
     b = imgs.shape[0]
-    k_mosaic, k_rot, k_flip, k_hsv = jax.random.split(key, 4)
+    k_mosaic, k_rot, k_st, k_flip, k_hsv = jax.random.split(key, 5)
 
     if use_mosaic:
         imgs, targets, valid = mosaic(k_mosaic, imgs, targets, valid)
     if use_rotate:
-        # gather-free shear rotation (scale variation comes from the mosaic
-        # crop; see rotate_shear)
+        # gather-free shear rotation (see rotate_shear)
         keys = jax.random.split(k_rot, b)
         imgs, targets, valid = jax.vmap(
             lambda k, im, t, v: rotate_shear(k, im, t, v, hyp.degrees)
+        )(keys, imgs, targets, valid)
+    if use_scale_translate and (hyp.scale > 0 or hyp.translate > 0):
+        # gather-free separable matmul resample (see scale_translate)
+        keys = jax.random.split(k_st, b)
+        imgs, targets, valid = jax.vmap(
+            lambda k, im, t, v: scale_translate(k, im, t, v, hyp.scale,
+                                                hyp.translate)
         )(keys, imgs, targets, valid)
     if use_flip:
         flips = jax.random.bernoulli(k_flip, 0.5, (b,))

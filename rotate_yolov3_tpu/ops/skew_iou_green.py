@@ -1,0 +1,170 @@
+"""Sort-free exact skew-IoU via Green's-theorem edge clipping.
+
+Third (and cheapest) formulation of the exact rotated-rect IoU that the
+reference computes with shapely/CUDA polygon clipping (SURVEY.md §2
+"skew-IoU"). The candidate-point formulation (``ops.skew_iou`` /
+``ops.skew_iou_pallas``) enumerates 24 possible intersection-polygon
+vertices and must ORDER them (argsort or rank-sort + 8-slot compaction) —
+ordering is ~2/3 of its cost and the compaction has a measure-zero
+degenerate drop (see its docstring). This module removes vertex
+enumeration entirely:
+
+    area(A ∩ B) = ∮_{∂(A∩B)} (x dy − y dx) / 2
+
+and ∂(A∩B) consists of sub-segments of A's edges inside B plus
+sub-segments of B's edges inside A. Each sub-segment is found by
+Liang–Barsky parametric clipping against the other rect's 4 half-planes
+(two dot products per vertex in the rect's local frame), and its line
+integral is ½(x_P·y_Q − x_Q·y_P). Green's theorem does not care in which
+ORDER the boundary pieces are summed — so no sort, no compaction, no
+atan2, and every op is elementwise (Pallas/Mosaic-friendly and cheap).
+
+Coincident-boundary degeneracy (the one sharp edge): if an edge of A is
+collinear with an edge of B (identical boxes, grid-aligned neighbours —
+common in detection data), the shared segment lies on BOTH boundaries and
+a naive sum counts it twice. Resolved by an asymmetric tolerance: A's
+edges clip against B *expanded* by σ (relaxed), B's edges clip against A
+*shrunk* by σ (strict). A shared-line segment is then always counted via
+A's side and never via B's; whenever such a segment is on the true
+boundary, A's clipped piece covers it exactly (both traversal directions
+agree because both interiors lie on the same side). σ is relative to the
+pair's size scale, ~1e2× above f32 FMA noise, and costs O(σ·perimeter)
+area error (~1e-4 relative).
+
+Touching-from-outside boxes (zero-area contact along a line) produce a
+single unclosed piece whose lone Green term is NEGATIVE (the reference
+center lies right of the traversal), so the final ``max(area, 0)`` clamp
+zeroes them exactly.
+
+All coordinates are evaluated relative to B's center (pieces of a closed
+curve sum translation-invariantly, but σ-slivers leave near-closure gaps
+whose chord error scales with the coordinate magnitude — centering keeps
+that at box scale, not image scale).
+
+Differentiable a.e. by plain autodiff (smooth rational clip parameters,
+min/max/select kinks only) — unlike the argsort path this is also safe
+inside ``lax.scan`` on the TPU backend (no sort; see CLAUDE.md rule 8).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-8
+_SIG_REL = 1e-5
+
+# corner sign pattern, CCW in standard orientation (matches
+# skew_iou_pallas._corners / ops.boxes.rbox_corners ordering)
+_SIGNS = ((-1, -1), (1, -1), (1, 1), (-1, 1))
+
+
+def _corner_offsets(w, h, ux, uy):
+    """Corner offsets relative to the rect center: lists of 4 x / 4 y.
+
+    offset_k = sx·(w/2)·u + sy·(h/2)·v with u = (ux, uy), v = (−uy, ux).
+    """
+    hw, hh = w * 0.5, h * 0.5
+    xs = [sx * hw * ux - sy * hh * uy for sx, sy in _SIGNS]
+    ys = [sx * hw * uy + sy * hh * ux for sx, sy in _SIGNS]
+    return xs, ys
+
+
+def _rect_dists(px, py, ux, uy, hw, hh):
+    """Signed distances (positive inside) of point p — given RELATIVE to
+    the rect center — to the rect's 4 half-planes, via 2 dot products."""
+    s = px * ux + py * uy
+    t = -px * uy + py * ux
+    return (hw - s, hw + s, hh - t, hh + t)
+
+
+def _edge_contrib(p0x, p0y, p1x, p1y, d0, d1):
+    """Green's line integral of edge p0→p1 clipped to the 4 half-planes.
+
+    d0/d1: 4-tuples of (σ-shifted) endpoint distances. Liang–Barsky: the
+    inside parameter window [t_lo, t_hi] is the intersection of per-plane
+    windows; a plane with both endpoints outside separates (empty). The
+    clipped sub-segment contributes ½(x_P·y_Q − x_Q·y_P).
+    """
+    t_lo = jnp.zeros_like(p0x)
+    t_hi = jnp.ones_like(p0x)
+    empty = jnp.zeros_like(p0x, dtype=bool)
+    for a, b in zip(d0, d1):
+        denom = a - b
+        safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+        tc = a / safe
+        t_lo = jnp.where((a < 0) & (b >= 0), jnp.maximum(t_lo, tc), t_lo)
+        t_hi = jnp.where((b < 0) & (a >= 0), jnp.minimum(t_hi, tc), t_hi)
+        empty = empty | ((a < 0) & (b < 0))
+    valid = (~empty) & (t_hi > t_lo)
+    ex, ey = p1x - p0x, p1y - p0y
+    qx0, qy0 = p0x + t_lo * ex, p0y + t_lo * ey
+    qx1, qy1 = p0x + t_hi * ex, p0y + t_hi * ey
+    c = 0.5 * (qx0 * qy1 - qx1 * qy0)
+    return jnp.where(valid, c, 0.0)
+
+
+def inter_area_green(acx, acy, aw, ah, ath, bcx, bcy, bw, bh, bth):
+    """Exact rect∩rect area, elementwise over broadcastable SoA fields.
+
+    Works identically as plain jnp (any backend) and inside a Pallas tile
+    body with (BN, 1) / (1, BM) operands — everything is elementwise with
+    static Python loops over the 4+4 edges.
+    """
+    uax, uay = jnp.cos(ath), jnp.sin(ath)
+    ubx, uby = jnp.cos(bth), jnp.sin(bth)
+    ahw, ahh = aw * 0.5, ah * 0.5
+    bhw, bhh = bw * 0.5, bh * 0.5
+    arx, ary = _corner_offsets(aw, ah, uax, uay)   # rel. own center
+    brx, bry = _corner_offsets(bw, bh, ubx, uby)
+    ox, oy = acx - bcx, acy - bcy                  # A center rel. B center
+
+    sig = _SIG_REL * (0.5 * (aw + ah + bw + bh)
+                      + jnp.abs(ox) + jnp.abs(oy))
+
+    # A corners rel. B center, and their (σ-relaxed) distances inside B
+    pax = [arx[k] + ox for k in range(4)]
+    pay = [ary[k] + oy for k in range(4)]
+    da = [tuple(d + sig for d in _rect_dists(pax[k], pay[k],
+                                             ubx, uby, bhw, bhh))
+          for k in range(4)]
+    # B corners rel. A center, and their (σ-strict) distances inside A
+    qax = [brx[k] - ox for k in range(4)]
+    qay = [bry[k] - oy for k in range(4)]
+    db = [tuple(d - sig for d in _rect_dists(qax[k], qay[k],
+                                             uax, uay, ahw, ahh))
+          for k in range(4)]
+
+    area = jnp.zeros_like(ox)
+    for k in range(4):
+        n = (k + 1) % 4
+        # A's edge k, coordinates rel. B center, clipped to expanded B
+        area = area + _edge_contrib(pax[k], pay[k], pax[n], pay[n],
+                                    da[k], da[n])
+        # B's edge k, coordinates rel. B center (its own offsets),
+        # clipped to shrunk A
+        area = area + _edge_contrib(brx[k], bry[k], brx[n], bry[n],
+                                    db[k], db[n])
+    return jnp.maximum(area, 0.0)
+
+
+def skew_iou_green(b1: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise exact skew-IoU of broadcastable (..., 5) rotated boxes.
+
+    Drop-in for ``ops.skew_iou.skew_iou`` (argsort ordering) and
+    ``ops.skew_iou_pallas.skew_iou_elementwise`` (rank-sort + compaction):
+    same math, no ordering stage at all. Differentiable a.e.; scan-safe.
+    """
+    b1, b2 = jnp.broadcast_arrays(b1.astype(jnp.float32),
+                                  b2.astype(jnp.float32))
+    inter = inter_area_green(
+        b1[..., 0], b1[..., 1], b1[..., 2], b1[..., 3], b1[..., 4],
+        b2[..., 0], b2[..., 1], b2[..., 2], b2[..., 3], b2[..., 4])
+    a1 = b1[..., 2] * b1[..., 3]
+    a2 = b2[..., 2] * b2[..., 3]
+    inter = jnp.minimum(inter, jnp.minimum(a1, a2))
+    return inter / (a1 + a2 - inter + _EPS)
+
+
+def skew_iou_matrix_green(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise (N, 5) × (M, 5) → (N, M) exact IoU matrix, pure jnp."""
+    return skew_iou_green(a[:, None, :], b[None, :, :])

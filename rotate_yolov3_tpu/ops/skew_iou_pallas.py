@@ -244,7 +244,7 @@ def _area_from_candidates(px, py, valid):
 
 
 def _iou_tile_kernel(a_ref, b_ref, out_ref, *, block_n=None, block_m=None,
-                     triangle=False):
+                     triangle=False, algo="green"):
     """One (BN, BM) IoU tile.
 
     a_ref: (BN, 8) array-of-structures block (fields cx,cy,w,h,th,pad) —
@@ -270,12 +270,12 @@ def _iou_tile_kernel(a_ref, b_ref, out_ref, *, block_n=None, block_m=None,
 
         @pl.when(needed)
         def _compute():
-            _iou_tile_body(a_ref, b_ref, out_ref)
+            _iou_tile_body(a_ref, b_ref, out_ref, algo)
     else:
-        _iou_tile_body(a_ref, b_ref, out_ref)
+        _iou_tile_body(a_ref, b_ref, out_ref, algo)
 
 
-def _iou_tile_body(a_ref, b_ref, out_ref):
+def _iou_tile_body(a_ref, b_ref, out_ref, algo="green"):
     acx = a_ref[:, 0][:, None]
     acy = a_ref[:, 1][:, None]
     aw = a_ref[:, 2][:, None]
@@ -287,10 +287,19 @@ def _iou_tile_body(a_ref, b_ref, out_ref):
     bh = b_ref[3, :][None, :]
     bth = b_ref[4, :][None, :]
 
-    ax, ay = _corners(acx, acy, aw, ah, ath)
-    bx, by = _corners(bcx, bcy, bw, bh, bth)
-    px, py, valid = _candidates(ax, ay, bx, by)
-    inter = _area_from_candidates(px, py, valid)
+    if algo == "green":
+        # Green's-theorem edge-clipping formulation: no candidate
+        # enumeration, no compaction, no rank-sort — ~3x fewer VPU ops per
+        # pair than the candidate path (see ops.skew_iou_green)
+        from .skew_iou_green import inter_area_green
+
+        inter = inter_area_green(acx, acy, aw, ah, ath,
+                                 bcx, bcy, bw, bh, bth)
+    else:
+        ax, ay = _corners(acx, acy, aw, ah, ath)
+        bx, by = _corners(bcx, bcy, bw, bh, bth)
+        px, py, valid = _candidates(ax, ay, bx, by)
+        inter = _area_from_candidates(px, py, valid)
 
     area_a = aw * ah
     area_b = bw * bh
@@ -317,11 +326,13 @@ def _prepare_aos(boxes: jnp.ndarray, pad_to: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "block_m",
-                                             "interpret", "triangle"))
+                                             "interpret", "triangle",
+                                             "algo"))
 def skew_iou_matrix_pallas(a: jnp.ndarray, b: jnp.ndarray,
                            block_n: int = 32, block_m: int = 128,
                            interpret: bool = False,
-                           triangle: bool = False) -> jnp.ndarray:
+                           triangle: bool = False,
+                           algo: str = "green") -> jnp.ndarray:
     """Exact pairwise skew-IoU matrix (N, 5) x (M, 5) -> (N, M) on TPU.
 
     Drop-in for ``ops.skew_iou.skew_iou_matrix`` (pass via the
@@ -329,6 +340,10 @@ def skew_iou_matrix_pallas(a: jnp.ndarray, b: jnp.ndarray,
     runs the same kernel through the Pallas interpreter for CPU tests.
     ``triangle=True`` zero-fills tiles entirely at/below the diagonal
     (valid whenever the consumer only reads col > row, as greedy NMS does).
+    ``algo`` selects the per-pair formulation: "green" (Green's-theorem
+    edge clipping, default — ~3x fewer VPU ops per pair; measured numbers
+    in docs/PERF.md) or "candidates" (the 24-candidate + rank-sort
+    formulation, kept as an independent cross-check).
     """
     n, m = a.shape[0], b.shape[0]
     a_aos = _prepare_aos(a, block_n)
@@ -338,7 +353,7 @@ def skew_iou_matrix_pallas(a: jnp.ndarray, b: jnp.ndarray,
     grid = (n_pad // block_n, m_pad // block_m)
     out = pl.pallas_call(
         functools.partial(_iou_tile_kernel, block_n=block_n,
-                          block_m=block_m, triangle=triangle),
+                          block_m=block_m, triangle=triangle, algo=algo),
         out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), jnp.float32),
         grid=grid,
         in_specs=[

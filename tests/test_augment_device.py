@@ -225,3 +225,129 @@ def test_rotate_shear_full_circle():
             continue                       # rotated out of frame: fine
         cx, cy = int(nt[0, 1] * 96), int(nt[0, 2] * 96)
         assert out[cy, cx].max() > 0.4, (seed, nt[0])
+
+
+def test_scale_translate_image_label_consistency():
+    """Matmul-resample scale/translate: the transformed label center must
+    sit on the (still bright) box pixels; w/h scale together; theta and
+    class are untouched."""
+    from rotate_yolov3_tpu.data.augment_device import scale_translate
+
+    img, t, v = _img_with_box(size=96, cx=0.55, cy=0.45, w=0.3, h=0.2,
+                              th=0.3)
+    for seed in range(6):
+        out, nt, nv = scale_translate(jax.random.PRNGKey(seed),
+                                      jnp.asarray(img), jnp.asarray(t),
+                                      jnp.asarray(v), scale=0.25,
+                                      translate=0.15)
+        out, nt, nv = np.asarray(out), np.asarray(nt), np.asarray(nv)
+        if not nv[0]:
+            continue
+        cx, cy = int(nt[0, 1] * 96), int(nt[0, 2] * 96)
+        assert out[cy, cx].max() > 0.5, (seed, nt[0])
+        ratio = nt[0, 3] / t[0, 3]
+        assert nt[0, 4] / t[0, 4] == pytest.approx(ratio, rel=1e-4)
+        assert nt[0, 5] == pytest.approx(t[0, 5], abs=1e-6)
+        assert nt[0, 0] == t[0, 0]
+
+
+def test_scale_translate_matches_gather_resample():
+    """The separable matmul resample must equal the gather-based bilinear
+    inverse map (map_coordinates) to float tolerance."""
+    from rotate_yolov3_tpu.data.augment_device import (_resample_matrix,
+                                                       scale_translate)
+
+    rng = np.random.default_rng(3)
+    size = 48
+    img = rng.uniform(0, 1, (size, size, 3)).astype(np.float32)
+    s, sx, sy = 1.21, 4.7, -3.2
+    ry, covy = _resample_matrix(size, jnp.float32(s), jnp.float32(sy))
+    rx, covx = _resample_matrix(size, jnp.float32(s), jnp.float32(sx))
+    tmp = jnp.einsum("ij,jxc->ixc", ry, jnp.asarray(img))
+    tmp = tmp + (1.0 - covy)[:, None, None] * 0.5
+    out = jnp.einsum("xj,ijc->ixc", rx, tmp)
+    out = np.asarray(out + (1.0 - covx)[None, :, None] * 0.5)
+
+    c = (size - 1) / 2.0
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    src_y = (yy - c - sy) / s + c
+    src_x = (xx - c - sx) / s + c
+    ref = np.stack([
+        np.asarray(jax.scipy.ndimage.map_coordinates(
+            jnp.asarray(img[..., ch]), [jnp.asarray(src_y),
+                                        jnp.asarray(src_x)],
+            order=1, mode="constant", cval=0.5))
+        for ch in range(3)], axis=-1)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_augment_batch_applies_scale_translate():
+    """hyp.scale/hyp.translate must ACT under the device path (r2 gap:
+    they were silently unused): with rotation/flip/hsv/mosaic off and only
+    scale jitter on, box sizes must change."""
+    from rotate_yolov3_tpu.data.augment_device import augment_batch
+
+    img, t, v = _img_with_box(size=64, cx=0.5, cy=0.5, w=0.3, h=0.2)
+    imgs = jnp.asarray(np.stack([img] * 4))
+    ts = jnp.asarray(np.stack([t] * 4))
+    vs = jnp.asarray(np.stack([v] * 4))
+    hyp = Hyp(scale=0.3, translate=0.2)
+    out, nt, nv = jax.jit(
+        lambda k, i, tt, vv: augment_batch(
+            k, i, tt, vv, hyp, use_mosaic=False, use_hsv=False,
+            use_flip=False, use_rotate=False)
+    )(jax.random.PRNGKey(0), imgs, ts, vs)
+    nt, nv = np.asarray(nt), np.asarray(nv)
+    kept = nv[:, 0]
+    assert kept.any()
+    ws = nt[kept, 0, 3]
+    assert (np.abs(ws - 0.3) > 1e-3).any()      # scale acted
+    cxs = nt[kept, 0, 1]
+    assert (np.abs(cxs - 0.5) > 1e-3).any()     # translation acted
+
+
+def test_hsv_device_vs_host_distribution():
+    """Documented divergence (see hsv_jitter docstring): device hue jitter
+    is continuous [0,1)-space, host is cv2's 0..179 LUT. Pin that s/v
+    match the host within uint8 rounding and hue stays a circular
+    multiplicative jitter: per-pixel hue ratios (mod 1) must be a single
+    constant across the image, and the value/saturation histograms must
+    match the host path closely."""
+    import cv2
+
+    from rotate_yolov3_tpu.data.augment import augment_hsv
+
+    rng = np.random.default_rng(5)
+    img_u8 = rng.integers(0, 255, (64, 64, 3), np.uint8)   # BGR (host conv)
+    img_f = img_u8[..., ::-1].astype(np.float32) / 255.0   # RGB [0,1]
+
+    # device path with a known gain draw
+    key = jax.random.PRNGKey(9)
+    out_dev = np.asarray(hsv_jitter(key, jnp.asarray(img_f),
+                                    0.0138, 0.678, 0.36))
+    r = np.asarray(jax.random.uniform(key, (3,), minval=-1.0, maxval=1.0))
+    gains = 1.0 + r * np.array([0.0138, 0.678, 0.36])
+
+    # host path with the SAME gains (drive cv2 LUT math directly)
+    hsv = cv2.cvtColor(img_u8, cv2.COLOR_BGR2HSV)
+    h, s, v = cv2.split(hsv)
+    h2 = ((h.astype(np.float32) * gains[0]) % 180).astype(np.uint8)
+    s2 = np.clip(s.astype(np.float32) * gains[1], 0, 255).astype(np.uint8)
+    v2 = np.clip(v.astype(np.float32) * gains[2], 0, 255).astype(np.uint8)
+    out_host = cv2.cvtColor(cv2.merge([h2, s2, v2]),
+                            cv2.COLOR_HSV2BGR)[..., ::-1] / 255.0
+
+    dev_hsv = cv2.cvtColor((out_dev * 255).astype(np.uint8),
+                           cv2.COLOR_RGB2HSV)
+    host_hsv = cv2.cvtColor((out_host * 255).astype(np.uint8),
+                            cv2.COLOR_RGB2HSV)
+    # value channel: identical transform, match within rounding
+    assert np.abs(dev_hsv[..., 2].astype(int)
+                  - host_hsv[..., 2].astype(int)).mean() < 2.0
+    # saturation: same multiplicative law
+    assert np.abs(dev_hsv[..., 1].astype(int)
+                  - host_hsv[..., 1].astype(int)).mean() < 6.0
+    # hue: same circular multiplicative family -> small circular deviation
+    dh = (dev_hsv[..., 0].astype(int) - host_hsv[..., 0].astype(int)) % 180
+    dh = np.minimum(dh, 180 - dh)
+    assert np.median(dh) <= 2, np.median(dh)

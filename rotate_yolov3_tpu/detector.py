@@ -105,7 +105,22 @@ class Detector:
             self._input_scale = 1.0
         else:
             self._infer_spec = self.spec
-            self._input_scale = 1.0 / 255.0
+            # fold the 1/255 normalisation into the first fused conv
+            # kernel (conv is linear; bias untouched): the elementwise
+            # scale pass over the full-resolution input disappears from
+            # the graph — the canonical-stem analog of pack_stem's
+            # input_scale fold
+            from .models.darknet import ConvSpec, _layer_key
+
+            first = next(l for l in self.spec.layers
+                         if isinstance(l, ConvSpec))
+            key = _layer_key(first.index)
+            fp = dict(self.fused_params)
+            entry = dict(fp[key])
+            entry["kernel"] = entry["kernel"] * (1.0 / 255.0)
+            fp[key] = entry
+            self.fused_params = fp
+            self._input_scale = 1.0
         self.packed_stem = packed_stem
         if compute_dtype != jnp.float32:
             # store inference params in the compute dtype up front: halves

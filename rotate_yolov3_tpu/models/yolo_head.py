@@ -149,10 +149,24 @@ def decode_gathered(head_raws: Sequence[jnp.ndarray],
       (B, K, 6+nc) decoded rows — identical values to
       ``decode_all(...)[b, idx]`` but with the decode math running on K
       rows instead of the full prediction tensor.
+
+    One row-gather from the heads' concatenated flat view (not one per
+    head — the earlier per-head form gathered 3x the rows and discarded
+    2/3 through selects), then per-row head attribution (stride, grid
+    cell, anchor) via piecewise masks over the three index segments, and
+    a single decode over the K rows.
     """
     b, k = idx.shape
     no = yolo_specs[0].no
-    out = jnp.zeros((b, k, no), jnp.float32)
+    flat_all = jnp.concatenate(
+        [reshape_head(r, s).reshape(b, -1, no)
+         for r, s in zip(head_raws, yolo_specs)], axis=1)
+    rows = jnp.take_along_axis(
+        flat_all, idx[..., None], axis=1).astype(jnp.float32)
+
+    zf = jnp.zeros((b, k), jnp.float32)
+    stride_v, gx, gy = zf, zf, zf
+    aw_v, ah_v, aang_v = zf, zf, zf
     offset = 0
     for raw, spec in zip(head_raws, yolo_specs):
         h, w = raw.shape[1], raw.shape[2]
@@ -160,28 +174,27 @@ def decode_gathered(head_raws: Sequence[jnp.ndarray],
         local = idx - offset
         in_head = (local >= 0) & (local < n)
         safe = jnp.clip(local, 0, n - 1)
-        flat = reshape_head(raw, spec).reshape(b, n, no)
-        rows = jnp.take_along_axis(flat, safe[..., None], axis=1)
-        rows = rows.astype(jnp.float32)
-
         anchors_wh, anchor_angles = head_anchors(spec)
         awh = jnp.asarray(anchors_wh)
         aang = jnp.asarray(anchor_angles)
         a_idx = safe % spec.na
         cell = safe // spec.na
-        gx = (cell % w).astype(jnp.float32)
-        gy = (cell // w).astype(jnp.float32)
-        xy = (jax.nn.sigmoid(rows[..., 0:2])
-              + jnp.stack([gx, gy], axis=-1)) * spec.stride
-        wh = awh[a_idx] * jnp.exp(jnp.clip(rows[..., 2:4],
-                                           -_WH_CLAMP, _WH_CLAMP))
-        theta = (aang[a_idx] + ANGLE_RANGE * jnp.tanh(rows[..., 4]))[..., None]
-        obj = jax.nn.sigmoid(rows[..., 5:6])
-        cls = jax.nn.sigmoid(rows[..., 6:])
-        dec = jnp.concatenate([xy, wh, theta, obj, cls], axis=-1)
-        out = jnp.where(in_head[..., None], dec, out)
+        stride_v = jnp.where(in_head, float(spec.stride), stride_v)
+        gx = jnp.where(in_head, (cell % w).astype(jnp.float32), gx)
+        gy = jnp.where(in_head, (cell // w).astype(jnp.float32), gy)
+        aw_v = jnp.where(in_head, awh[a_idx][..., 0], aw_v)
+        ah_v = jnp.where(in_head, awh[a_idx][..., 1], ah_v)
+        aang_v = jnp.where(in_head, aang[a_idx], aang_v)
         offset += n
-    return out
+
+    xy = (jax.nn.sigmoid(rows[..., 0:2])
+          + jnp.stack([gx, gy], axis=-1)) * stride_v[..., None]
+    wh = jnp.stack([aw_v, ah_v], axis=-1) * jnp.exp(
+        jnp.clip(rows[..., 2:4], -_WH_CLAMP, _WH_CLAMP))
+    theta = (aang_v + ANGLE_RANGE * jnp.tanh(rows[..., 4]))[..., None]
+    obj = jax.nn.sigmoid(rows[..., 5:6])
+    cls = jax.nn.sigmoid(rows[..., 6:])
+    return jnp.concatenate([xy, wh, theta, obj, cls], axis=-1)
 
 
 def num_predictions(spec: NetworkSpec) -> int:

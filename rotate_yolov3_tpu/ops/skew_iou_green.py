@@ -121,17 +121,21 @@ def inter_area_green(acx, acy, aw, ah, ath, bcx, bcy, bw, bh, bth):
     sig = _SIG_REL * (0.5 * (aw + ah + bw + bh)
                       + jnp.abs(ox) + jnp.abs(oy))
 
+    # σ folds into the half-dims: d ± σ == dists against a rect expanded/
+    # shrunk by σ (same uniform shift on all four planes) — 4 adds per
+    # pair instead of 32
+    bhw_r, bhh_r = bhw + sig, bhh + sig          # B expanded (relaxed)
+    ahw_s, ahh_s = ahw - sig, ahh - sig          # A shrunk (strict)
+
     # A corners rel. B center, and their (σ-relaxed) distances inside B
     pax = [arx[k] + ox for k in range(4)]
     pay = [ary[k] + oy for k in range(4)]
-    da = [tuple(d + sig for d in _rect_dists(pax[k], pay[k],
-                                             ubx, uby, bhw, bhh))
+    da = [_rect_dists(pax[k], pay[k], ubx, uby, bhw_r, bhh_r)
           for k in range(4)]
     # B corners rel. A center, and their (σ-strict) distances inside A
     qax = [brx[k] - ox for k in range(4)]
     qay = [bry[k] - oy for k in range(4)]
-    db = [tuple(d - sig for d in _rect_dists(qax[k], qay[k],
-                                             uax, uay, ahw, ahh))
+    db = [_rect_dists(qax[k], qay[k], uax, uay, ahw_s, ahh_s)
           for k in range(4)]
 
     area = jnp.zeros_like(ox)

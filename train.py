@@ -144,6 +144,9 @@ def train(opt):
 
     os.makedirs(opt.out_dir, exist_ok=True)
     results_path = os.path.join(opt.out_dir, "results.txt")
+    from rotate_yolov3_tpu.utils.metrics_writer import MetricsWriter
+    metrics_writer = MetricsWriter(opt.out_dir,
+                                   tensorboard=not opt.no_tensorboard)
     best_map = -1.0
 
     # one Detector reused across epochs so the eval graph compiles once
@@ -194,6 +197,9 @@ def train(opt):
                     f"{agg.get('cls', 0):.5f} {agg.get('angle', 0):.5f} "
                     f"{agg.get('total', 0):.5f} {mp:.5f} {mr:.5f} "
                     f"{mAP:.5f}\n")
+        metrics_writer.write(epoch, {**agg, "P": mp, "R": mr, "mAP": mAP,
+                                     "img_per_s": imgs_per_s,
+                                     "lr": float(sched(ts.step))})
 
         host_ts = jax.device_get(ts)
         save_checkpoint(ckpt_dir, host_ts, step=epoch + 1)
@@ -211,6 +217,7 @@ def train(opt):
                                  seen=int(host_ts.step) * opt.batch_size)
             save_torch_pt(spec, host_ts.params, host_ts.state,
                           os.path.join(opt.out_dir, "best.pt"), epoch=epoch)
+    metrics_writer.close()
     return best_map
 
 
@@ -251,6 +258,9 @@ def make_parser():
     p.add_argument("--workers", type=int, default=1,
                    help="host prefetch worker threads")
     p.add_argument("--no-eval", action="store_true")
+    p.add_argument("--no-tensorboard", action="store_true",
+                   help="disable TensorBoard event files (metrics.csv/"
+                        ".jsonl are always written)")
     p.add_argument("--eval-max-images", type=int, default=None)
     p.add_argument("--conf-thres", type=float, default=0.1)
     p.add_argument("--nms-thres", type=float, default=0.4)

@@ -23,7 +23,8 @@ def evaluate_dataset(detector, list_path: str, batch_size: int = 8,
                      max_images: Optional[int] = None,
                      names: Sequence[str] = (),
                      method: str = "continuous",
-                     max_gt: int = 512) -> Dict[str, object]:
+                     max_gt: int = 512, cache_images: str = "",
+                     workers: int = 1) -> Dict[str, object]:
     """Evaluate a Detector over an image-list dataset.
 
     Ground truth is loaded through the same ``LoadImagesAndLabels`` pipeline
@@ -39,7 +40,8 @@ def evaluate_dataset(detector, list_path: str, batch_size: int = 8,
     img_size = detector.img_size
     ds = LoadImagesAndLabels(list_path, img_size=img_size,
                              batch_size=batch_size, augment=False,
-                             max_gt=max_gt, drop_last=False, prefetch=2)
+                             max_gt=max_gt, drop_last=False, prefetch=2,
+                             cache_images=cache_images, workers=workers)
     stats = []
     n_done = 0
     for imgs, tgts, valid in ds:

@@ -329,7 +329,7 @@ def _prepare_aos(boxes: jnp.ndarray, pad_to: int) -> jnp.ndarray:
                                              "interpret", "triangle",
                                              "algo"))
 def skew_iou_matrix_pallas(a: jnp.ndarray, b: jnp.ndarray,
-                           block_n: int = 32, block_m: int = 128,
+                           block_n: int = 64, block_m: int = 128,
                            interpret: bool = False,
                            triangle: bool = False,
                            algo: str = "green") -> jnp.ndarray:

@@ -76,35 +76,48 @@ def objectness_ignore(raw: jnp.ndarray, gt_boxes: jnp.ndarray,
 
     ``gt_boxes`` is the padded (B, G, 5) pixel-box tensor; padding rows are
     zero-area so their IoU is 0 by definition and they never ignore
-    anything. The G axis is scanned sequentially: peak memory stays at one
-    (B, H, W, na) IoU grid instead of G of them.
+    anything. The G axis is scanned in CHUNKS of 8: peak memory stays at
+    8 (B, H, W, na) IoU grids (~27 MB at 608/bs8) instead of G of them,
+    while the scan runs G/8 sequential steps instead of G — sequential
+    scan steps at this grid scale cost real dispatch/fusion overhead
+    (train-step decomposition, docs/PERF.md).
 
-    The rotated path uses the SORT-FREE exact formulation
-    (``ops.skew_iou_pallas.skew_iou_elementwise``): executing the
-    argsort-based ``ops.skew_iou.skew_iou`` repeatedly inside this scan at
-    608-px stride-8 grid scale (8·76·76·18 ≈ 832k boxes per step)
-    reproducibly CRASHED the TPU worker ("kernel fault" — isolated to the
-    scan-around-argsort structure: the same evaluation as a single call
-    succeeds, and the sort-free form is stable). The mask is
-    stop-gradient anyway, so the non-differentiable ordering is free.
+    The rotated path uses the SORT-FREE exact Green's-theorem formulation
+    (``ops.skew_iou_green.skew_iou_green``, r3 — ~3x cheaper than the r2
+    rank-sort form): executing the argsort-based ``ops.skew_iou.skew_iou``
+    repeatedly inside this scan at 608-px stride-8 grid scale
+    (8·76·76·18 ≈ 832k boxes per step) reproducibly CRASHED the TPU worker
+    ("kernel fault" — isolated to the scan-around-argsort structure: the
+    same evaluation as a single call succeeds, and sort-free forms are
+    stable). The mask is stop-gradient anyway.
     """
     pred = decode_boxes_grid(
         jax.lax.stop_gradient(reshape_head(raw, spec).astype(jnp.float32)),
         spec)                                         # (B, H, W, na, 5)
 
-    if rotated:
-        from ..ops.skew_iou_pallas import skew_iou_elementwise
+    chunk = 8
+    g = gt_boxes.shape[1]
+    pad = (-g) % chunk
+    gt = jnp.pad(gt_boxes, ((0, 0), (0, pad), (0, 0)))
+    # (G_pad/chunk, chunk, B, 5): scan over chunks, vectorize within
+    gt_chunks = jnp.swapaxes(gt, 0, 1).reshape(
+        (g + pad) // chunk, chunk, gt.shape[0], 5)
 
-        def body(best, gt_g):                         # gt_g: (B, 5)
-            iou = skew_iou_elementwise(pred, gt_g[:, None, None, None, :])
-            return jnp.maximum(best, iou), None
+    if rotated:
+        from ..ops.skew_iou_green import skew_iou_green
+
+        def body(best, gt_c):                         # gt_c: (chunk, B, 5)
+            iou = skew_iou_green(
+                pred[None], gt_c[:, :, None, None, None, :])
+            return jnp.maximum(best, jnp.max(iou, axis=0)), None
     else:
-        def body(best, gt_g):
-            iou = _aabb_iou(pred[..., :4], gt_g[:, None, None, None, :4])
-            return jnp.maximum(best, iou), None
+        def body(best, gt_c):
+            iou = _aabb_iou(pred[None, ..., :4],
+                            gt_c[:, :, None, None, None, :4])
+            return jnp.maximum(best, jnp.max(iou, axis=0)), None
 
     init = jnp.zeros(pred.shape[:-1], jnp.float32)
-    best, _ = jax.lax.scan(body, init, jnp.swapaxes(gt_boxes, 0, 1))
+    best, _ = jax.lax.scan(body, init, gt_chunks)
     return best > spec.ignore_thresh
 
 

@@ -36,7 +36,8 @@ def test(opt):
     result = evaluate_dataset(
         det, data_cfg["valid"], batch_size=opt.batch_size,
         iou_thr=opt.iou_thres, names=names, method=opt.ap_method,
-        max_images=opt.max_images, max_gt=opt.max_gt)
+        max_images=opt.max_images, max_gt=opt.max_gt,
+        cache_images=opt.cache_images, workers=opt.workers)
     print_eval_table(result)
     return result["mp"], result["mr"], result["map"]
 
@@ -72,6 +73,10 @@ def make_parser():
                         "high-scoring objects that land in one reduction "
                         "bin — noise a +-0.5 mAP comparison cannot afford")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--cache-images", choices=["", "ram", "disk"], default="",
+                   help="cache decoded images (useful for repeated evals)")
+    p.add_argument("--workers", type=int, default=1,
+                   help="host prefetch worker threads")
     p.add_argument("--device", type=str, default="",
                    help="jax platform override (cpu/tpu)")
     return p

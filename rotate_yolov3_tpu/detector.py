@@ -74,7 +74,8 @@ class Detector:
                  compute_dtype=jnp.float32, iou_matrix_fn=None,
                  seed: int = 0, devices: int = 0,
                  packed_stem: bool = False,
-                 approx_top_k: Optional[bool] = None):
+                 approx_top_k: Optional[bool] = None,
+                 field_major_heads: bool = True):
         self.spec: NetworkSpec = build_network(
             parse_model_cfg(cfg_path), img_size=img_size)
         self.img_size = self.spec.img_size
@@ -90,45 +91,21 @@ class Detector:
             params, state, self.seen = load_weights_file(
                 self.spec, params, state, weights)
         self.params, self.state = params, state
-        # inference always runs BN-folded
-        self.fused_params = fuse_bn(self.spec, params, state)
-
-        # packed stem: exact stem reparameterisation for MXU efficiency
-        # (models.packed_stem). The canonical spec/params stay around for
-        # weights IO; only the jitted inference graph sees the packed form.
-        from .models.packed_stem import pack_stem
-        if packed_stem:
-            # 1/255 normalisation folds into the packed first kernel, so the
-            # inference graph consumes raw 0..255 pixel values directly
-            self._infer_spec, self.fused_params = pack_stem(
-                self.spec, self.fused_params, input_scale=1.0 / 255.0)
-            self._input_scale = 1.0
-        else:
-            self._infer_spec = self.spec
-            # fold the 1/255 normalisation into the first fused conv
-            # kernel (conv is linear; bias untouched): the elementwise
-            # scale pass over the full-resolution input disappears from
-            # the graph — the canonical-stem analog of pack_stem's
-            # input_scale fold
-            from .models.darknet import ConvSpec, _layer_key
-
-            first = next(l for l in self.spec.layers
-                         if isinstance(l, ConvSpec))
-            key = _layer_key(first.index)
-            fp = dict(self.fused_params)
-            entry = dict(fp[key])
-            entry["kernel"] = entry["kernel"] * (1.0 / 255.0)
-            fp[key] = entry
-            self.fused_params = fp
-            self._input_scale = 1.0
         self.packed_stem = packed_stem
-        if compute_dtype != jnp.float32:
-            # store inference params in the compute dtype up front: halves
-            # their HBM footprint and keeps the per-call kernel casts
-            # (apply_fused's astype) no-ops even when XLA doesn't hoist
-            # them out of a surrounding scan (bench.py's protocol)
-            self.fused_params = jax.tree.map(
-                lambda a: a.astype(compute_dtype), self.fused_params)
+
+        # field-major head channels need each head conv to feed ONLY its
+        # yolo layer (permuting a routed output would corrupt the other
+        # consumer) — true for every darknet yolov3 cfg, checked anyway
+        from .models.darknet import ConvSpec
+        self.field_major_heads = bool(field_major_heads)
+        if self.field_major_heads:
+            for ys in self.spec.yolo_specs:
+                prev = [l for l in self.spec.layers
+                        if getattr(l, "index", None) == ys.index - 1]
+                if not (prev and isinstance(prev[0], ConvSpec)
+                        and prev[0].out_c == ys.na * ys.no
+                        and prev[0].index not in self.spec.routs):
+                    self.field_major_heads = False
 
         self.mesh = None
         if devices and devices > 1:
@@ -137,10 +114,9 @@ class Detector:
 
             self.mesh = make_mesh(devices)
             self._batch_sharding = NamedSharding(self.mesh, P("data"))
-            # replicate weights across the mesh once, up front
-            self.fused_params = jax.device_put(
-                self.fused_params, NamedSharding(self.mesh, P()))
         self.devices = devices if self.mesh is not None else 1
+
+        self.refresh_params()
 
         if approx_top_k is None:
             approx_top_k = jax.default_backend() == "tpu"
@@ -148,6 +124,7 @@ class Detector:
 
         spec = self._infer_spec
         input_scale = self._input_scale
+        field_major = self.field_major_heads
 
         def infer_fn(fused_params, images):
             x = images.astype(compute_dtype)
@@ -160,12 +137,79 @@ class Detector:
             return non_max_suppression_fused(
                 heads, spec.yolo_specs, conf_thres=conf_thres,
                 nms_thres=nms_thres, max_det=max_det,
-                iou_matrix_fn=iou_matrix_fn, approx_top_k=approx_top_k)
+                iou_matrix_fn=iou_matrix_fn, approx_top_k=approx_top_k,
+                field_major=field_major)
 
         # the pure function is public so bench.py can scan over EXACTLY the
         # product inference math (VERDICT r1: bench path must == product path)
         self.infer_fn = infer_fn
         self._infer = jax.jit(infer_fn)
+
+    def refresh_params(self, params=None, state=None) -> None:
+        """Rebuild fused inference params through the FULL fusion pipeline:
+        BN fold, packed-stem or 1/255 input-scale fold, field-major head
+        permutation, compute-dtype cast, mesh replication.
+
+        Call this after updating ``params``/``state`` (e.g. train.py's
+        per-epoch eval). Assigning raw ``fuse_bn`` output to
+        ``.fused_params`` directly skips the folds the jitted graph was
+        built around and silently corrupts inference.
+        """
+        from .models.darknet import ConvSpec, _layer_key
+        from .models.packed_stem import pack_stem
+        from .models.yolo_head import field_major_perm
+
+        if params is not None:
+            self.params = params
+        if state is not None:
+            self.state = state
+        fused = fuse_bn(self.spec, self.params, self.state)
+        if self.packed_stem:
+            # 1/255 normalisation folds into the packed first kernel, so the
+            # inference graph consumes raw 0..255 pixel values directly
+            self._infer_spec, fused = pack_stem(
+                self.spec, fused, input_scale=1.0 / 255.0)
+        else:
+            self._infer_spec = self.spec
+            # fold the 1/255 normalisation into the first fused conv kernel
+            # (conv is linear; bias untouched): the elementwise scale pass
+            # over the full-resolution input disappears from the graph
+            first = next(l for l in self.spec.layers
+                         if isinstance(l, ConvSpec))
+            key = _layer_key(first.index)
+            fused = dict(fused)
+            entry = dict(fused[key])
+            entry["kernel"] = entry["kernel"] * (1.0 / 255.0)
+            fused[key] = entry
+        self._input_scale = 1.0
+        if self.field_major_heads:
+            # permute each head conv's output channels anchor-major ->
+            # field-major: obj/cls become contiguous lane slices for the
+            # score pass (models.yolo_head.field_major_perm; bit-identical
+            # results through the field_major=True decode/score paths)
+            fused = dict(fused)
+            for ys in self.spec.yolo_specs:
+                conv = next(l for l in self.spec.layers
+                            if getattr(l, "index", None) == ys.index - 1)
+                key = _layer_key(conv.index)
+                perm = field_major_perm(ys)
+                entry = dict(fused[key])
+                entry["kernel"] = entry["kernel"][..., perm]
+                entry["bias"] = entry["bias"][perm]
+                fused[key] = entry
+        if self.compute_dtype != jnp.float32:
+            # store inference params in the compute dtype up front: halves
+            # their HBM footprint and keeps the per-call kernel casts
+            # (apply_fused's astype) no-ops even when XLA doesn't hoist
+            # them out of a surrounding scan (bench.py's protocol)
+            fused = jax.tree.map(
+                lambda a: a.astype(self.compute_dtype), fused)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # replicate weights across the mesh once, up front
+            fused = jax.device_put(fused, NamedSharding(self.mesh, P()))
+        self.fused_params = fused
 
     def __call__(self, images) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Run detection on (B, H, W, 3) images (uint8 or float 0-255)."""
@@ -193,6 +237,11 @@ class Detector:
         if not hasattr(self, "_predict_raw_jit"):
             spec, dtype = self._infer_spec, self.compute_dtype
             input_scale = self._input_scale
+            inv_perms = None
+            if self.field_major_heads:
+                from .models.yolo_head import field_major_perm
+                inv_perms = [np.argsort(field_major_perm(ys))
+                             for ys in spec.yolo_specs]
 
             @jax.jit
             def _raw(fused_params, imgs):
@@ -200,6 +249,11 @@ class Detector:
                 if input_scale != 1.0:
                     x = x * input_scale
                 heads = apply_fused(spec, fused_params, x)
+                if inv_perms is not None:
+                    # undo the field-major head permutation so decode_all
+                    # sees canonical anchor-major channels
+                    heads = [h[..., jnp.asarray(p)]
+                             for h, p in zip(heads, inv_perms)]
                 heads = [h.astype(jnp.float32) for h in heads]
                 return decode_all(heads, spec.yolo_specs)
 

@@ -117,16 +117,49 @@ def decode_all(head_raws: Sequence[jnp.ndarray],
         [decode_head(r, s) for r, s in zip(head_raws, yolo_specs)], axis=1)
 
 
-def head_scores(raw: jnp.ndarray, spec: YoloSpec) -> jnp.ndarray:
+def field_major_perm(spec: YoloSpec) -> np.ndarray:
+    """Head-conv output-channel permutation: anchor-major -> field-major.
+
+    Canonical darknet channel order is anchor-major (``a*no + f``); the
+    score pass then reads the obj/cls fields of every anchor as stride-no
+    slices over the LANE dimension of the head map — which XLA must
+    relayout (measured cost in docs/PERF.md). Permuting the head conv's
+    output channels to field-major (``f*na + a``) makes obj/cls contiguous
+    lane slices. ``perm[f*na + a] = a*no + f`` — apply as
+    ``kernel[..., perm]`` / ``bias[perm]``; pure reorder, bit-identical
+    outputs through the matching ``field_major=True`` decode/score paths.
+    """
+    na, no = spec.na, spec.no
+    perm = np.empty(na * no, np.int64)
+    for f in range(no):
+        for a in range(na):
+            perm[f * na + a] = a * no + f
+    return perm
+
+
+def head_scores(raw: jnp.ndarray, spec: YoloSpec,
+                field_major: bool = False) -> jnp.ndarray:
     """Detection scores straight from the raw head map: (B, H*W*na).
 
     score = sigmoid(obj) * max_c sigmoid(cls_c) — computed WITHOUT decoding
     boxes, so the score-first inference path (see
     ``ops.rotated_nms.non_max_suppression_fused``) never materialises the
-    full (B, N, 6+nc) decoded tensor.
+    full (B, N, 6+nc) decoded tensor. ``field_major`` selects the
+    permuted-head-channel layout (see ``field_major_perm``); candidate
+    ordering (cell-major, anchor-minor) is identical either way.
     """
+    b = raw.shape[0]
+    if field_major:
+        bb, h, w, _ = raw.shape
+        p = raw.reshape(bb, h, w, spec.no, spec.na)
+        obj = jax.nn.sigmoid(p[..., 5, :])
+        if spec.num_classes > 1:
+            # max of logits == argmax of sigmoids (monotonic)
+            cls = jax.nn.sigmoid(jnp.max(p[..., 6:, :], axis=-2))
+        else:
+            cls = jax.nn.sigmoid(p[..., 6, :])
+        return (obj * cls).reshape(b, -1)
     p = reshape_head(raw, spec)
-    b = p.shape[0]
     obj = jax.nn.sigmoid(p[..., 5])
     if spec.num_classes > 1:
         cls = jnp.max(jax.nn.sigmoid(p[..., 6:]), axis=-1)
@@ -137,7 +170,8 @@ def head_scores(raw: jnp.ndarray, spec: YoloSpec) -> jnp.ndarray:
 
 def decode_gathered(head_raws: Sequence[jnp.ndarray],
                     yolo_specs: Sequence[YoloSpec],
-                    idx: jnp.ndarray) -> jnp.ndarray:
+                    idx: jnp.ndarray,
+                    field_major: bool = False) -> jnp.ndarray:
     """Decode only the selected predictions.
 
     Args:
@@ -150,35 +184,64 @@ def decode_gathered(head_raws: Sequence[jnp.ndarray],
       ``decode_all(...)[b, idx]`` but with the decode math running on K
       rows instead of the full prediction tensor.
 
-    One row-gather from the heads' concatenated flat view (not one per
-    head — the earlier per-head form gathered 3x the rows and discarded
-    2/3 through selects), then per-row head attribution (stride, grid
-    cell, anchor) via piecewise masks over the three index segments, and
-    a single decode over the K rows.
+    Gathers run per head at CELL granularity: each head map stays in its
+    native (B, H*W, na*no) layout (a free dim-collapse of the conv output —
+    the na*no minor dim is already the lane dim) and the gather pulls the
+    target anchor's ``no`` contiguous channels as a (1, no) slice starting
+    at lane offset ``a*no`` within the cell row (``field_major=True``:
+    per-FIELD (1, na) slices at offset ``f*na``, summed against an exact
+    anchor one-hot). A flat (B, N, no) gather operand was measured +31
+    us/img on TPU — it forces a 7-wide minor dim, lane-padded to 128, an
+    ~18x memory blow-up; full-row gathers + one-hot select measured +26
+    us/img (the (…, na, no) select reshape re-creates the 7-wide minor
+    dim). Measured variants in docs/PERF.md.
     """
     b, k = idx.shape
     no = yolo_specs[0].no
-    flat_all = jnp.concatenate(
-        [reshape_head(r, s).reshape(b, -1, no)
-         for r, s in zip(head_raws, yolo_specs)], axis=1)
-    rows = jnp.take_along_axis(
-        flat_all, idx[..., None], axis=1).astype(jnp.float32)
 
     zf = jnp.zeros((b, k), jnp.float32)
     stride_v, gx, gy = zf, zf, zf
     aw_v, ah_v, aang_v = zf, zf, zf
+    rows = jnp.zeros((b, k, no), jnp.float32)
     offset = 0
     for raw, spec in zip(head_raws, yolo_specs):
         h, w = raw.shape[1], raw.shape[2]
         n = h * w * spec.na
+        na = spec.na
         local = idx - offset
         in_head = (local >= 0) & (local < n)
         safe = jnp.clip(local, 0, n - 1)
         anchors_wh, anchor_angles = head_anchors(spec)
         awh = jnp.asarray(anchors_wh)
         aang = jnp.asarray(anchor_angles)
-        a_idx = safe % spec.na
-        cell = safe // spec.na
+        a_idx = safe % na
+        cell = safe // na
+        cells_view = raw.reshape(b, h * w, na * no)
+        if field_major:
+            # channel layout f*na + a: gather the (1, na) field slices of
+            # the cell and contract with the anchor one-hot (minor-axis
+            # reduce — na contiguous lanes, no 7-wide reshape anywhere)
+            r_cells = jnp.take_along_axis(cells_view, cell[..., None],
+                                          axis=1)     # (b, k, no*na)
+            grouped = r_cells.reshape(b, k, no, na)
+            onehot = (a_idx[..., None]
+                      == jnp.arange(na)[None, None, :]).astype(grouped.dtype)
+            picked = jnp.sum(grouped * onehot[:, :, None, :], axis=-1)
+        else:
+            # anchor-major layout a*no + f: the anchor's no channels are
+            # contiguous — gather them directly as a (1, no) lane slice at
+            # offset a*no (two-coordinate gather, no select pass)
+            starts = jnp.stack([cell, a_idx * no], axis=-1)  # (b, k, 2)
+            dnums = jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(0,),
+                start_index_map=(0, 1))
+            picked = jax.vmap(
+                lambda op, st: jax.lax.gather(
+                    op, st, dnums, slice_sizes=(1, no),
+                    mode=jax.lax.GatherScatterMode.CLIP)
+            )(cells_view, starts)                     # (b, k, no)
+        rows = jnp.where(in_head[..., None], picked.astype(jnp.float32),
+                         rows)
         stride_v = jnp.where(in_head, float(spec.stride), stride_v)
         gx = jnp.where(in_head, (cell % w).astype(jnp.float32), gx)
         gy = jnp.where(in_head, (cell // w).astype(jnp.float32), gy)

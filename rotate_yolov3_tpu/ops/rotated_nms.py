@@ -42,6 +42,31 @@ def _class_masked_iou(iou_matrix_fn: Callable, boxes: jnp.ndarray,
     return jnp.where(same, iou, 0.0)
 
 
+def _nms_keep(iou_matrix_fn: Optional[Callable], boxes: jnp.ndarray,
+              cls_id: jnp.ndarray, valid: jnp.ndarray, nms_thres: float,
+              use_cls: bool) -> jnp.ndarray:
+    """Greedy keep mask for one image's score-sorted boxes.
+
+    Default TPU path: the fused kill-mask kernel (threshold + triangle +
+    class masks applied in-kernel, int8 output — 4x less HBM than the f32
+    IoU matrix). With an explicit ``iou_matrix_fn`` (tests, CPU) the IoU
+    matrix is built and thresholded outside — identical keeps (same f32
+    IoU values compared to the same threshold; pinned in tests/test_nms.py).
+    """
+    if iou_matrix_fn is None and jax.default_backend() == "tpu":
+        from .skew_iou_pallas import skew_kill_matrix_pallas
+
+        kill = skew_kill_matrix_pallas(
+            boxes, cls_id if use_cls else None, iou_thr=nms_thres)
+        return greedy_suppress_fixpoint_kill(kill != 0, valid)
+    if iou_matrix_fn is None:
+        from .skew_iou import skew_iou_matrix
+        iou_matrix_fn = skew_iou_matrix
+    iou = (_class_masked_iou(iou_matrix_fn, boxes, cls_id) if use_cls
+           else iou_matrix_fn(boxes, boxes))
+    return greedy_suppress_fixpoint(iou, valid, nms_thres)
+
+
 def greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,
                     iou_thr: float) -> jnp.ndarray:
     """Greedy NMS over a precomputed IoU matrix.
@@ -70,6 +95,33 @@ def greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,
     return valid & ~suppressed
 
 
+def greedy_suppress_fixpoint_kill(kill: jnp.ndarray, valid: jnp.ndarray
+                                  ) -> jnp.ndarray:
+    """Fixpoint greedy NMS from a precomputed kill mask.
+
+    ``kill[i, j]`` must already encode "kept row i suppresses row j":
+    strictly upper-triangular (rows score-descending), thresholded, and
+    class-masked — e.g. ``skew_iou_pallas.skew_kill_matrix_pallas`` output.
+    See ``greedy_suppress_fixpoint`` for the fixpoint argument.
+    """
+    def step(keep):
+        suppressed = jnp.any(keep[:, None] & kill, axis=0)
+        return valid & ~suppressed
+
+    def cond(carry):
+        keep, prev, it = carry
+        return jnp.any(keep != prev) & (it < kill.shape[0])
+
+    def body(carry):
+        keep, _, it = carry
+        return step(keep), keep, it + 1
+
+    keep0 = step(valid)
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, valid, jnp.int32(0)))
+    return keep
+
+
 def greedy_suppress_fixpoint(iou: jnp.ndarray, valid: jnp.ndarray,
                              iou_thr: float) -> jnp.ndarray:
     """Greedy NMS as a fixpoint iteration — same result, O(depth) passes.
@@ -86,23 +138,7 @@ def greedy_suppress_fixpoint(iou: jnp.ndarray, valid: jnp.ndarray,
     """
     kill = (iou > iou_thr) & (jnp.arange(iou.shape[0])[:, None]
                               < jnp.arange(iou.shape[0])[None, :])
-
-    def step(keep):
-        suppressed = jnp.any(keep[:, None] & kill, axis=0)
-        return valid & ~suppressed
-
-    def cond(carry):
-        keep, prev, it = carry
-        return jnp.any(keep != prev) & (it < iou.shape[0])
-
-    def body(carry):
-        keep, _, it = carry
-        return step(keep), keep, it + 1
-
-    keep0 = step(valid)
-    keep, _, _ = jax.lax.while_loop(
-        cond, body, (keep0, valid, jnp.int32(0)))
-    return keep
+    return greedy_suppress_fixpoint_kill(kill, valid)
 
 
 def _nms_single(pred: jnp.ndarray, conf_thres: float, nms_thres: float,
@@ -136,8 +172,8 @@ def _nms_single(pred: jnp.ndarray, conf_thres: float, nms_thres: float,
     # zero out padding boxes -> zero-area -> IoU 0 with everything
     top_boxes = jnp.where(valid[:, None], top_boxes, 0.0)
 
-    iou = _class_masked_iou(iou_matrix_fn, top_boxes, top_cls)
-    keep = greedy_suppress_fixpoint(iou, valid, nms_thres)
+    keep = _nms_keep(iou_matrix_fn, top_boxes, top_cls, valid, nms_thres,
+                     use_cls=nc > 1)
 
     out = jnp.concatenate(
         [top_boxes, top_scores[:, None], top_cls[:, None].astype(pred.dtype)],
@@ -167,21 +203,18 @@ def non_max_suppression(pred: jnp.ndarray, conf_thres: float = 0.1,
       detections (B, max_det, 7) = (cx, cy, w, h, theta, score, class),
       sorted by score descending, and validity mask (B, max_det).
     """
-    if iou_matrix_fn is None:
-        from .skew_iou_pallas import skew_iou_matrix_auto_nms
-        fn = skew_iou_matrix_auto_nms
-    else:
-        fn = iou_matrix_fn
     single = functools.partial(_nms_single, conf_thres=conf_thres,
                                nms_thres=nms_thres, max_det=max_det,
-                               iou_matrix_fn=fn, approx_top_k=approx_top_k)
+                               iou_matrix_fn=iou_matrix_fn,
+                               approx_top_k=approx_top_k)
     return jax.vmap(single)(pred)
 
 
 def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
                               nms_thres: float = 0.4, max_det: int = 512,
                               iou_matrix_fn: Optional[Callable] = None,
-                              approx_top_k: bool = True
+                              approx_top_k: bool = True,
+                              field_major: bool = False
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Score-first NMS straight from raw head maps (production path).
 
@@ -189,19 +222,24 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
     materialises the full (B, N, 6+nc) decoded tensor: scores come from the
     raw maps (sigmoid obj*cls), top-k selects ``max_det`` candidates, and
     box decode runs on those K rows only. Default approx top-k (TPU-native;
-    exact for the parity path via approx_top_k=False).
+    exact for the parity path via approx_top_k=False). ``field_major``
+    declares the head maps use the permuted field-major channel layout
+    (``models.yolo_head.field_major_perm``) — same results, lane-contiguous
+    score reads.
     """
     from ..models.yolo_head import decode_gathered, head_scores
 
     scores = jnp.concatenate(
-        [head_scores(r, s) for r, s in zip(head_raws, yolo_specs)], axis=1)
+        [head_scores(r, s, field_major=field_major)
+         for r, s in zip(head_raws, yolo_specs)], axis=1)
     ranked = jnp.where(scores >= conf_thres, scores, 0.0)
     k = min(max_det, scores.shape[1])
     if approx_top_k:
         top_scores, top_idx = jax.lax.approx_max_k(ranked, k)
     else:
         top_scores, top_idx = jax.lax.top_k(ranked, k)
-    rows = decode_gathered(head_raws, yolo_specs, top_idx)  # (B, K, 6+nc)
+    rows = decode_gathered(head_raws, yolo_specs, top_idx,
+                           field_major=field_major)     # (B, K, 6+nc)
 
     nc = rows.shape[-1] - 6
     boxes = rows[..., :5]
@@ -212,13 +250,9 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
     valid = top_scores > jnp.maximum(conf_thres, 0.0)
     boxes = jnp.where(valid[..., None], boxes, 0.0)
 
-    if iou_matrix_fn is None:
-        from .skew_iou_pallas import skew_iou_matrix_auto_nms
-        iou_matrix_fn = skew_iou_matrix_auto_nms
-
     def one(boxes_b, scores_b, cls_b, valid_b):
-        iou = _class_masked_iou(iou_matrix_fn, boxes_b, cls_b)
-        keep = greedy_suppress_fixpoint(iou, valid_b, nms_thres)
+        keep = _nms_keep(iou_matrix_fn, boxes_b, cls_b, valid_b,
+                         nms_thres, use_cls=nc > 1)
         out = jnp.concatenate(
             [boxes_b, scores_b[:, None],
              cls_b[:, None].astype(boxes_b.dtype)], axis=-1)

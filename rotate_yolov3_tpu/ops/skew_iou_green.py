@@ -82,24 +82,34 @@ def _edge_contrib(p0x, p0y, p1x, p1y, d0, d1):
 
     d0/d1: 4-tuples of (σ-shifted) endpoint distances. Liang–Barsky: the
     inside parameter window [t_lo, t_hi] is the intersection of per-plane
-    windows; a plane with both endpoints outside separates (empty). The
-    clipped sub-segment contributes ½(x_P·y_Q − x_Q·y_P).
+    windows; a plane with both endpoints outside separates (empty).
+
+    The clipped sub-segment's integral needs no clipped endpoints: along
+    p(t) = p0 + t·e the integrand x·y′ − y·x′ is the CONSTANT p0×e = p0×p1
+    (the t-terms cancel), so ∫ = (t_hi−t_lo)·(p0×p1)/2. For B's own edges
+    the endpoints are per-box corner offsets, making p0×p1 a per-box
+    broadcast rather than per-pair work.
+
+    The 4 planes are 2 OPPOSITE pairs, so their crossing parameters share
+    a denominator up to sign: d0[0]−d1[0] = s1−s0 = −(d0[1]−d1[1]) (same
+    for the t-axis pair). One reciprocal per axis (2 instead of 4 divides
+    per edge — divides are the VPU's most expensive ops here; measured in
+    docs/PERF.md). A zero denominator (edge parallel to the axis) makes
+    tc ±inf/NaN, but every use of tc sits behind a sign-test select whose
+    condition is then false — no guard needed.
     """
+    rs = 1.0 / (d0[0] - d1[0])            # 1/(s1−s0)
+    rt = 1.0 / (d0[2] - d1[2])            # 1/(t1−t0)
+    tcs = (d0[0] * rs, -(d0[1] * rs), d0[2] * rt, -(d0[3] * rt))
     t_lo = jnp.zeros_like(p0x)
     t_hi = jnp.ones_like(p0x)
     empty = jnp.zeros_like(p0x, dtype=bool)
-    for a, b in zip(d0, d1):
-        denom = a - b
-        safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
-        tc = a / safe
+    for a, b, tc in zip(d0, d1, tcs):
         t_lo = jnp.where((a < 0) & (b >= 0), jnp.maximum(t_lo, tc), t_lo)
         t_hi = jnp.where((b < 0) & (a >= 0), jnp.minimum(t_hi, tc), t_hi)
         empty = empty | ((a < 0) & (b < 0))
     valid = (~empty) & (t_hi > t_lo)
-    ex, ey = p1x - p0x, p1y - p0y
-    qx0, qy0 = p0x + t_lo * ex, p0y + t_lo * ey
-    qx1, qy1 = p0x + t_hi * ex, p0y + t_hi * ey
-    c = 0.5 * (qx0 * qy1 - qx1 * qy0)
+    c = 0.5 * (t_hi - t_lo) * (p0x * p1y - p0y * p1x)
     return jnp.where(valid, c, 0.0)
 
 

@@ -22,6 +22,7 @@ zero-area padding yields IoU 0 by the same min-area clamp as the jnp path.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -275,7 +276,8 @@ def _iou_tile_kernel(a_ref, b_ref, out_ref, *, block_n=None, block_m=None,
         _iou_tile_body(a_ref, b_ref, out_ref, algo)
 
 
-def _iou_tile_body(a_ref, b_ref, out_ref, algo="green"):
+def _iou_tile_value(a_ref, b_ref, algo="green"):
+    """The (BN, BM) IoU tile as a value (shared by both kernel bodies)."""
     acx = a_ref[:, 0][:, None]
     acy = a_ref[:, 1][:, None]
     aw = a_ref[:, 2][:, None]
@@ -304,7 +306,11 @@ def _iou_tile_body(a_ref, b_ref, out_ref, algo="green"):
     area_a = aw * ah
     area_b = bw * bh
     inter = jnp.minimum(inter, jnp.minimum(area_a, area_b))
-    out_ref[:, :] = inter / (area_a + area_b - inter + _EPS)
+    return inter / (area_a + area_b - inter + _EPS)
+
+
+def _iou_tile_body(a_ref, b_ref, out_ref, algo="green"):
+    out_ref[:, :] = _iou_tile_value(a_ref, b_ref, algo)
 
 
 def _prepare_soa(boxes: jnp.ndarray, pad_to: int) -> jnp.ndarray:
@@ -403,6 +409,86 @@ def skew_iou_elementwise(b1: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
     a2 = b2[..., 2] * b2[..., 3]
     inter = jnp.minimum(inter, jnp.minimum(a1, a2))
     return inter / (a1 + a2 - inter + _EPS)
+
+
+def _kill_tile_kernel(a_ref, b_ref, out_ref, *, block_n, block_m,
+                      iou_thr, use_cls, algo):
+    """One (BN, BM) tile of the greedy-NMS kill mask (int8).
+
+    kill[i, j] = (j > i) & (cls_i == cls_j) & (IoU > thr). Fusing the
+    threshold/triangle/class masks into the kernel shrinks the NMS
+    intermediate from a (K, K) f32 IoU matrix to a (K, K) int8 mask (4x
+    less HBM) and drops the separate masking passes the greedy fixpoint
+    otherwise runs. Class ids ride the spare field 5 of the 8-wide
+    box layout.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    # strict-upper-triangle: tile dead unless its max col exceeds min row
+    needed = (j * block_m + block_m - 1) > (i * block_n)
+
+    @pl.when(jnp.logical_not(needed))
+    def _zero():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    @pl.when(needed)
+    def _compute():
+        iou = _iou_tile_value(a_ref, b_ref, algo)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (block_n, block_m), 0) \
+            + i * block_n
+        ci = jax.lax.broadcasted_iota(jnp.int32, (block_n, block_m), 1) \
+            + j * block_m
+        kill = (iou > iou_thr) & (ci > ri)
+        if use_cls:
+            same = a_ref[:, 5][:, None] == b_ref[5, :][None, :]
+            kill = kill & same
+        out_ref[:, :] = kill.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("iou_thr", "block_n", "block_m",
+                                             "interpret", "algo"))
+def skew_kill_matrix_pallas(boxes: jnp.ndarray,
+                            cls_id: Optional[jnp.ndarray] = None,
+                            iou_thr: float = 0.4,
+                            block_n: int = 64, block_m: int = 128,
+                            interpret: bool = False,
+                            algo: str = "green") -> jnp.ndarray:
+    """Greedy-NMS kill mask for score-sorted boxes: (K, 5) -> (K, K) int8.
+
+    ``kill[i, j] = 1`` iff row i suppresses row j when kept: strictly
+    upper-triangular (rows are score-descending), same class (when
+    ``cls_id`` given), exact skew-IoU > ``iou_thr`` — the same f32 IoU
+    values ``skew_iou_matrix_pallas`` produces, thresholded in-kernel, so
+    keep masks are bit-identical to the matrix path (pinned in
+    tests/test_nms.py). Feed to ``rotated_nms.greedy_suppress_fixpoint_kill``.
+    """
+    n = boxes.shape[0]
+    a_aos = _prepare_aos(boxes, block_n)
+    b_soa = _prepare_soa(boxes, block_m)
+    if cls_id is not None:
+        clsf = cls_id.astype(jnp.float32)
+        a_aos = a_aos.at[:n, 5].set(clsf)
+        b_soa = b_soa.at[5, :n].set(clsf)
+    n_pad, m_pad = a_aos.shape[0], b_soa.shape[1]
+
+    grid = (n_pad // block_n, m_pad // block_m)
+    out = pl.pallas_call(
+        functools.partial(_kill_tile_kernel, block_n=block_n,
+                          block_m=block_m, iou_thr=iou_thr,
+                          use_cls=cls_id is not None, algo=algo),
+        out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), jnp.int8),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_n, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_m), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_n, block_m), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(a_aos, b_soa)
+    return out[:n, :n]
 
 
 def skew_iou_matrix_auto_nms(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -111,3 +111,25 @@ def test_multi_device_inference_matches_single_device():
     # indivisible batch fails loudly
     with pytest.raises(AssertionError, match="divisible"):
         detN(imgs[:6])
+
+
+def test_refresh_params_matches_fresh_detector():
+    """refresh_params(new params/state) reruns the FULL fusion pipeline
+    (BN fold + 1/255 input-scale fold + field-major head permutation):
+    outputs must equal a Detector constructed directly from those params.
+    Guards train.py's per-epoch eval refresh — assigning raw fuse_bn output
+    to .fused_params skips the folds and corrupts eval silently."""
+    rng = np.random.default_rng(9)
+    imgs = rng.integers(0, 255, (2, 128, 128, 3), dtype=np.uint8)
+
+    det_a = Detector(TINY, img_size=128, conf_thres=0.2, nms_thres=0.4,
+                     max_det=32, seed=5)
+    det_b = Detector(TINY, img_size=128, conf_thres=0.2, nms_thres=0.4,
+                     max_det=32, seed=11)
+    db, mb = det_b(imgs)
+
+    det_a.refresh_params(det_b.params, det_b.state)
+    da, ma = det_a(imgs)
+    np.testing.assert_array_equal(np.asarray(mb), np.asarray(ma))
+    np.testing.assert_allclose(np.asarray(db), np.asarray(da),
+                               rtol=1e-5, atol=1e-5)

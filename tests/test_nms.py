@@ -288,3 +288,45 @@ def test_fixpoint_greedy_equals_sequential_greedy():
     np.testing.assert_array_equal(a, b)
     # chain semantics: evens kept, odds suppressed
     np.testing.assert_array_equal(b, np.arange(k) % 2 == 0)
+
+
+def test_field_major_heads_bit_identical():
+    """Field-major head-channel permutation + matching score/decode paths
+    produce EXACTLY the canonical fused-NMS results (the permutation is a
+    pure channel reorder; detector applies it for lane-contiguous scores)."""
+    import os
+    from rotate_yolov3_tpu.config.parse import parse_model_cfg
+    from rotate_yolov3_tpu.models import build_network, init_params
+    from rotate_yolov3_tpu.models.darknet import apply_fused, fuse_bn, _layer_key
+    from rotate_yolov3_tpu.models.yolo_head import field_major_perm
+    from rotate_yolov3_tpu.ops.rotated_nms import non_max_suppression_fused
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = build_network(
+        parse_model_cfg(os.path.join(root, "cfg/yolov3-rotate-tiny.cfg")),
+        img_size=96)
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    fused = fuse_bn(spec, params, state)
+    fused_fm = dict(fused)
+    for ys in spec.yolo_specs:
+        conv = next(l for l in spec.layers
+                    if getattr(l, "index", None) == ys.index - 1)
+        key = _layer_key(conv.index)
+        perm = field_major_perm(ys)
+        e = dict(fused_fm[key])
+        e["kernel"] = e["kernel"][..., perm]
+        e["bias"] = e["bias"][perm]
+        fused_fm[key] = e
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 96, 96, 3))
+    heads = [h.astype(jnp.float32) for h in apply_fused(spec, fused, x)]
+    heads_fm = [h.astype(jnp.float32) for h in apply_fused(spec, fused_fm, x)]
+
+    d1, m1 = non_max_suppression_fused(
+        heads, spec.yolo_specs, conf_thres=0.2, nms_thres=0.4, max_det=32,
+        approx_top_k=False)
+    d2, m2 = non_max_suppression_fused(
+        heads_fm, spec.yolo_specs, conf_thres=0.2, nms_thres=0.4,
+        max_det=32, approx_top_k=False, field_major=True)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))

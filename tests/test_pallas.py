@@ -175,3 +175,46 @@ def test_triangle_nms_keep_mask_unchanged():
                                  iou_matrix_fn=tri_fn)
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_kill_matrix_matches_matrix_path():
+    """skew_kill_matrix_pallas == thresholded+triangle(+class) IoU matrix,
+    and the kill-path greedy keep equals the matrix-path keep — single and
+    multi class."""
+    from rotate_yolov3_tpu.ops.rotated_nms import (
+        greedy_suppress_fixpoint, greedy_suppress_fixpoint_kill)
+    from rotate_yolov3_tpu.ops.skew_iou_pallas import skew_kill_matrix_pallas
+
+    rng = np.random.default_rng(11)
+    k, thr = 96, 0.35
+    boxes = _random_boxes(rng, k, spread=60.0)
+    cls_id = rng.integers(0, 3, k).astype(np.int32)
+    valid = rng.uniform(size=k) < 0.9
+
+    iou = np.asarray(skew_iou_matrix_pallas(
+        jnp.asarray(boxes), jnp.asarray(boxes), block_n=16, block_m=32,
+        interpret=True))
+    upper = np.triu(np.ones((k, k), bool), 1)
+
+    # single-class
+    kill = np.asarray(skew_kill_matrix_pallas(
+        jnp.asarray(boxes), None, iou_thr=thr, block_n=16, block_m=32,
+        interpret=True))
+    np.testing.assert_array_equal(kill != 0, (iou > thr) & upper)
+    a = np.asarray(greedy_suppress_fixpoint_kill(
+        jnp.asarray(kill != 0), jnp.asarray(valid)))
+    b = np.asarray(greedy_suppress_fixpoint(
+        jnp.asarray(iou), jnp.asarray(valid), thr))
+    np.testing.assert_array_equal(a, b)
+
+    # class-aware
+    killc = np.asarray(skew_kill_matrix_pallas(
+        jnp.asarray(boxes), jnp.asarray(cls_id), iou_thr=thr, block_n=16,
+        block_m=32, interpret=True))
+    same = cls_id[:, None] == cls_id[None, :]
+    np.testing.assert_array_equal(killc != 0, (iou > thr) & upper & same)
+    ac = np.asarray(greedy_suppress_fixpoint_kill(
+        jnp.asarray(killc != 0), jnp.asarray(valid)))
+    bc = np.asarray(greedy_suppress_fixpoint(
+        jnp.asarray(np.where(same, iou, 0.0)), jnp.asarray(valid), thr))
+    np.testing.assert_array_equal(ac, bc)

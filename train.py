@@ -181,10 +181,12 @@ def train(opt):
         # per-epoch eval (reference train.py calls test.test each epoch)
         mp = mr = mAP = 0.0
         if eval_det is not None:
-            eval_det.params = jax.device_get(ts.params)
-            eval_det.state = jax.device_get(ts.state)
-            eval_det.fused_params = fuse_bn(spec, eval_det.params,
-                                            eval_det.state)
+            # refresh through the FULL fusion pipeline (BN fold + input-
+            # scale fold + head permutation): assigning raw fuse_bn output
+            # to .fused_params skips the folds the jitted inference graph
+            # was built around and silently corrupts eval
+            eval_det.refresh_params(jax.device_get(ts.params),
+                                    jax.device_get(ts.state))
             result = evaluate_dataset(eval_det, data_cfg["valid"],
                                       batch_size=opt.batch_size,
                                       names=names,

@@ -184,18 +184,83 @@ def decode_gathered(head_raws: Sequence[jnp.ndarray],
       ``decode_all(...)[b, idx]`` but with the decode math running on K
       rows instead of the full prediction tensor.
 
-    Gathers run per head at CELL granularity: each head map stays in its
-    native (B, H*W, na*no) layout (a free dim-collapse of the conv output —
-    the na*no minor dim is already the lane dim) and the gather pulls the
-    target anchor's ``no`` contiguous channels as a (1, no) slice starting
-    at lane offset ``a*no`` within the cell row (``field_major=True``:
-    per-FIELD (1, na) slices at offset ``f*na``, summed against an exact
-    anchor one-hot). A flat (B, N, no) gather operand was measured +31
-    us/img on TPU — it forces a 7-wide minor dim, lane-padded to 128, an
-    ~18x memory blow-up; full-row gathers + one-hot select measured +26
-    us/img (the (…, na, no) select reshape re-creates the 7-wide minor
-    dim). Measured variants in docs/PERF.md.
+    Gathers run at CELL granularity: each head map's native
+    (B, H*W, na*no) layout is a free dim-collapse of the conv output (the
+    na*no minor dim is already the lane dim) and the gather pulls whole
+    cell rows; the anchor is then selected with an exact one-hot
+    contraction. A flat (B, N, no) gather operand was measured +31 us/img
+    on TPU — it forces a 7-wide minor dim, lane-padded to 128, an ~18x
+    memory blow-up. Measured variants in docs/PERF.md.
+
+    When every head shares the same ``na`` (true for all darknet yolov3
+    cfgs) the heads' cell rows are CONCATENATED into one (B, C_total,
+    na*no) operand and gathered ONCE: the global candidate ordering is
+    heads-in-order / cell-major / anchor-minor, so ``idx // na`` is
+    directly the global cell row and ``idx % na`` the anchor — no
+    per-head index clipping (which gathers K rows per head, 2/3 of them
+    discarded) and no per-head select chains. Grid/stride metadata comes
+    from a host-precomputed per-cell table gathered by the same indices.
     """
+    nas = {s.na for s in yolo_specs}
+    if len(nas) == 1 and len(head_raws) > 1:
+        return _decode_gathered_concat(head_raws, yolo_specs, idx,
+                                       field_major)
+    return _decode_gathered_perhead(head_raws, yolo_specs, idx, field_major)
+
+
+def _decode_gathered_concat(head_raws, yolo_specs, idx, field_major):
+    """Uniform-na fast path of ``decode_gathered`` — see its docstring.
+
+    One row gather; every piece of metadata (grid cell, stride, anchor
+    w/h/angle) is ARITHMETIC on the (B, K) index arrays — per-head
+    membership selects plus an anchor one-hot contraction — because
+    per-candidate metadata gathers would re-introduce the gather cost the
+    concat removes.
+    """
+    b, k = idx.shape
+    no = yolo_specs[0].no
+    na = yolo_specs[0].na
+
+    cells_all = jnp.concatenate(
+        [r.reshape(r.shape[0], -1, na * no) for r in head_raws], axis=1)
+    cell_g = idx // na
+    a_idx = idx % na
+
+    r_cells = jnp.take_along_axis(cells_all, cell_g[..., None], axis=1)
+    onehot_b = a_idx[..., None] == jnp.arange(na)[None, None, :]  # (b,k,na)
+    if field_major:
+        grouped = r_cells.reshape(b, k, no, na)
+        rows = jnp.sum(grouped * onehot_b[:, :, None, :].astype(
+            grouped.dtype), axis=-1)
+    else:
+        grouped = r_cells.reshape(b, k, na, no)
+        rows = jnp.sum(grouped * onehot_b[..., None].astype(grouped.dtype),
+                       axis=-2)
+    rows = rows.astype(jnp.float32)
+
+    zf = jnp.zeros((b, k), jnp.float32)
+    stride_v, gx, gy = zf, zf, zf
+    aw_v, ah_v, aang_v = zf, zf, zf
+    oh = onehot_b.astype(jnp.float32)
+    off = 0
+    for raw, s in zip(head_raws, yolo_specs):
+        h, w = raw.shape[1], raw.shape[2]
+        local = cell_g - off
+        in_h = (local >= 0) & (local < h * w)
+        stride_v = jnp.where(in_h, float(s.stride), stride_v)
+        gx = jnp.where(in_h, (local % w).astype(jnp.float32), gx)
+        gy = jnp.where(in_h, (local // w).astype(jnp.float32), gy)
+        awh_h, aang_h = head_anchors(s)
+        in_f = in_h.astype(jnp.float32)
+        aw_v = aw_v + in_f * jnp.sum(oh * jnp.asarray(awh_h[:, 0]), -1)
+        ah_v = ah_v + in_f * jnp.sum(oh * jnp.asarray(awh_h[:, 1]), -1)
+        aang_v = aang_v + in_f * jnp.sum(oh * jnp.asarray(aang_h), -1)
+        off += h * w
+    return _decode_rows(rows, stride_v, gx, gy, aw_v, ah_v, aang_v)
+
+
+def _decode_gathered_perhead(head_raws, yolo_specs, idx, field_major):
+    """General path of ``decode_gathered`` (heads may differ in na)."""
     b, k = idx.shape
     no = yolo_specs[0].no
 
@@ -250,6 +315,12 @@ def decode_gathered(head_raws: Sequence[jnp.ndarray],
         aang_v = jnp.where(in_head, aang[a_idx], aang_v)
         offset += n
 
+    return _decode_rows(rows, stride_v, gx, gy, aw_v, ah_v, aang_v)
+
+
+def _decode_rows(rows, stride_v, gx, gy, aw_v, ah_v, aang_v):
+    """Shared decode math of the gathered paths: (B, K, no) raw rows +
+    per-row grid/anchor metadata -> (B, K, 6+nc) decoded rows."""
     xy = (jax.nn.sigmoid(rows[..., 0:2])
           + jnp.stack([gx, gy], axis=-1)) * stride_v[..., None]
     wh = jnp.stack([aw_v, ah_v], axis=-1) * jnp.exp(

@@ -77,7 +77,7 @@ def _rect_dists(px, py, ux, uy, hw, hh):
     return (hw - s, hw + s, hh - t, hh + t)
 
 
-def _edge_contrib(p0x, p0y, p1x, p1y, d0, d1):
+def _edge_contrib(p0x, p0y, p1x, p1y, d0, d1, recips=None):
     """Green's line integral of edge p0→p1 clipped to the 4 half-planes.
 
     d0/d1: 4-tuples of (σ-shifted) endpoint distances. Liang–Barsky: the
@@ -92,14 +92,20 @@ def _edge_contrib(p0x, p0y, p1x, p1y, d0, d1):
 
     The 4 planes are 2 OPPOSITE pairs, so their crossing parameters share
     a denominator up to sign: d0[0]−d1[0] = s1−s0 = −(d0[1]−d1[1]) (same
-    for the t-axis pair). One reciprocal per axis (2 instead of 4 divides
-    per edge — divides are the VPU's most expensive ops here; measured in
-    docs/PERF.md). A zero denominator (edge parallel to the axis) makes
+    for the t-axis pair) — one reciprocal per axis. And a rect's OPPOSITE
+    EDGES have negated directions (e₂ = −e₀), so their per-axis
+    denominators negate too: callers pass ``recips=(rs, rt)`` from the
+    opposite edge, negated — 2 reciprocals per rect PAIR of edges instead
+    of per edge (divides are the VPU's most expensive ops here; measured
+    in docs/PERF.md). A zero denominator (edge parallel to the axis) makes
     tc ±inf/NaN, but every use of tc sits behind a sign-test select whose
     condition is then false — no guard needed.
     """
-    rs = 1.0 / (d0[0] - d1[0])            # 1/(s1−s0)
-    rt = 1.0 / (d0[2] - d1[2])            # 1/(t1−t0)
+    if recips is None:
+        rs = 1.0 / (d0[0] - d1[0])        # 1/(s1−s0)
+        rt = 1.0 / (d0[2] - d1[2])        # 1/(t1−t0)
+    else:
+        rs, rt = recips
     tcs = (d0[0] * rs, -(d0[1] * rs), d0[2] * rt, -(d0[3] * rt))
     t_lo = jnp.zeros_like(p0x)
     t_hi = jnp.ones_like(p0x)
@@ -148,16 +154,33 @@ def inter_area_green(acx, acy, aw, ah, ath, bcx, bcy, bw, bh, bth):
     db = [_rect_dists(qax[k], qay[k], uax, uay, ahw_s, ahh_s)
           for k in range(4)]
 
+    # Clip-parameter reciprocals, shared across opposite edges: corner
+    # offsets negate exactly under the _SIGNS pattern, so e₂ = −e₀ and
+    # e₃ = −e₁ BIT-exactly — edge 2/3 reuse edge 0/1's reciprocals
+    # negated. Denominators come from edge-direction dot products
+    # (algebraically equal to the σ-cancelling distance differences
+    # _edge_contrib would otherwise form): 8 divides per pair, not 16.
+    def _recips(e0x, e0y, ux, uy):
+        return (1.0 / (e0x * ux + e0y * uy),
+                1.0 / (-e0x * uy + e0y * ux))
+
+    ra = [_recips(arx[k + 1] - arx[k], ary[k + 1] - ary[k], ubx, uby)
+          for k in (0, 1)]
+    ra += [(-ra[0][0], -ra[0][1]), (-ra[1][0], -ra[1][1])]
+    rb = [_recips(brx[k + 1] - brx[k], bry[k + 1] - bry[k], uax, uay)
+          for k in (0, 1)]
+    rb += [(-rb[0][0], -rb[0][1]), (-rb[1][0], -rb[1][1])]
+
     area = jnp.zeros_like(ox)
     for k in range(4):
         n = (k + 1) % 4
         # A's edge k, coordinates rel. B center, clipped to expanded B
         area = area + _edge_contrib(pax[k], pay[k], pax[n], pay[n],
-                                    da[k], da[n])
+                                    da[k], da[n], recips=ra[k])
         # B's edge k, coordinates rel. B center (its own offsets),
         # clipped to shrunk A
         area = area + _edge_contrib(brx[k], bry[k], brx[n], bry[n],
-                                    db[k], db[n])
+                                    db[k], db[n], recips=rb[k])
     return jnp.maximum(area, 0.0)
 
 

@@ -106,9 +106,16 @@ if __name__ == "__main__":
     metric = "608x608_inference_throughput"
     if md != 128:
         metric += f"_maxdet{md}"
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / 1000.0, 4),
-    }))
+    }
+    if len(sys.argv) == 1:
+        # driver mode: also measure the dense-scene capacity (max_det=512,
+        # dota.py's detect default) so both product configurations are on
+        # record — same JSON line, extra key (schema-compatible).
+        out["maxdet512_value"] = round(bench(batch_size=bs, max_det=512,
+                                             verbose=True), 2)
+    print(json.dumps(out))

@@ -227,16 +227,21 @@ def _decode_gathered_concat(head_raws, yolo_specs, idx, field_major):
     a_idx = idx % na
 
     r_cells = jnp.take_along_axis(cells_all, cell_g[..., None], axis=1)
+    # anchor selection as a LANE mask + static selection-matrix matmul:
+    # reshaping (b, k, na*no) to split the lane dim re-tiles to a
+    # narrow (≤8-wide) minor dim, measured +3 us/img over this form at
+    # K=512 (docs/PERF.md); the mask is elementwise on the full lane dim
+    # and the (na*no, no) matmul sums each field's na lanes on the MXU.
+    lanes = jnp.arange(na * no, dtype=jnp.int32)
+    lane_a = lanes % na if field_major else lanes // no
+    lane_f = lanes // na if field_major else lanes % no
+    sel = jnp.asarray(
+        (lane_f[:, None] == jnp.arange(no)[None, :]), r_cells.dtype)
+    mask = (lane_a[None, None, :] == a_idx[..., None]).astype(r_cells.dtype)
+    rows = jax.lax.dot_general(r_cells * mask, sel,
+                               (((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
     onehot_b = a_idx[..., None] == jnp.arange(na)[None, None, :]  # (b,k,na)
-    if field_major:
-        grouped = r_cells.reshape(b, k, no, na)
-        rows = jnp.sum(grouped * onehot_b[:, :, None, :].astype(
-            grouped.dtype), axis=-1)
-    else:
-        grouped = r_cells.reshape(b, k, na, no)
-        rows = jnp.sum(grouped * onehot_b[..., None].astype(grouped.dtype),
-                       axis=-2)
-    rows = rows.astype(jnp.float32)
 
     zf = jnp.zeros((b, k), jnp.float32)
     stride_v, gx, gy = zf, zf, zf

@@ -49,9 +49,12 @@ def _nms_keep(iou_matrix_fn: Optional[Callable], boxes: jnp.ndarray,
 
     Default TPU path: the fused kill-mask kernel (threshold + triangle +
     class masks applied in-kernel, int8 output — 4x less HBM than the f32
-    IoU matrix). With an explicit ``iou_matrix_fn`` (tests, CPU) the IoU
-    matrix is built and thresholded outside — identical keeps (same f32
-    IoU values compared to the same threshold; pinned in tests/test_nms.py).
+    IoU matrix; divide-free threshold form). With an explicit
+    ``iou_matrix_fn`` (tests, CPU) the IoU matrix is built and thresholded
+    outside — the kernel's predicate is algebraically identical
+    (inter·(1+thr) > thr·(A+B) ⇔ IoU > thr), so keeps can differ only for
+    pairs within FP rounding of the threshold itself (pinned in
+    tests/test_nms.py / test_pallas.py).
     """
     if iou_matrix_fn is None and jax.default_backend() == "tpu":
         from .skew_iou_pallas import skew_kill_matrix_pallas

@@ -41,8 +41,16 @@ curve sum translation-invariantly, but σ-slivers leave near-closure gaps
 whose chord error scales with the coordinate magnitude — centering keeps
 that at box scale, not image scale).
 
-Differentiable a.e. by plain autodiff (smooth rational clip parameters,
-min/max/select kinks only) — unlike the argsort path this is also safe
+Differentiable a.e. by plain autodiff — with one sharp caveat: at
+EXACTLY-parallel edge pairs (Δθ ≡ 0 mod π/2, e.g. a prediction whose θ
+bit-equals its GT's) the parallel axis's reciprocal is ±inf and autodiff
+produces NaN through the 0·inf cotangent, the standard ``where``-inf
+trap. The forward value is exact there (IEEE inf/NaN propagation falls
+into the empty/unconstrained window on its own — see ``_edge_contrib``);
+only gradients are affected. The training loss therefore differentiates
+through ``ops.skew_iou.skew_iou`` (argsort path, finite subgradients)
+and uses this module only under ``stop_gradient`` (objectness-ignore
+mask) and in inference NMS. Unlike the argsort path this is also safe
 inside ``lax.scan`` on the TPU backend (no sort; see CLAUDE.md rule 8).
 """
 
@@ -77,12 +85,16 @@ def _rect_dists(px, py, ux, uy, hw, hh):
     return (hw - s, hw + s, hh - t, hh + t)
 
 
-def _edge_contrib(p0x, p0y, p1x, p1y, d0, d1, recips=None):
+def _edge_contrib(p0x, p0y, p1x, p1y, d0, recips):
     """Green's line integral of edge p0→p1 clipped to the 4 half-planes.
 
-    d0/d1: 4-tuples of (σ-shifted) endpoint distances. Liang–Barsky: the
-    inside parameter window [t_lo, t_hi] is the intersection of per-plane
-    windows; a plane with both endpoints outside separates (empty).
+    d0: 4-tuple of the START point's (σ-shifted) plane distances. The 4
+    planes are 2 SLABS (opposite-plane pairs), so clipping is the classic
+    slab method: the two crossing parameters of a slab bound its inside
+    window as [min(tc⁺, tc⁻), max(tc⁺, tc⁻)] — no entering/leaving sign
+    tests, no separate both-outside flag (a miss makes the window empty
+    on its own). Only the start point's distances are needed: the end
+    point's enter through the shared per-axis reciprocal.
 
     The clipped sub-segment's integral needs no clipped endpoints: along
     p(t) = p0 + t·e the integrand x·y′ − y·x′ is the CONSTANT p0×e = p0×p1
@@ -90,33 +102,29 @@ def _edge_contrib(p0x, p0y, p1x, p1y, d0, d1, recips=None):
     the endpoints are per-box corner offsets, making p0×p1 a per-box
     broadcast rather than per-pair work.
 
-    The 4 planes are 2 OPPOSITE pairs, so their crossing parameters share
-    a denominator up to sign: d0[0]−d1[0] = s1−s0 = −(d0[1]−d1[1]) (same
-    for the t-axis pair) — one reciprocal per axis. And a rect's OPPOSITE
-    EDGES have negated directions (e₂ = −e₀), so their per-axis
-    denominators negate too: callers pass ``recips=(rs, rt)`` from the
-    opposite edge, negated — 2 reciprocals per rect PAIR of edges instead
-    of per edge (divides are the VPU's most expensive ops here; measured
-    in docs/PERF.md). A zero denominator (edge parallel to the axis) makes
-    tc ±inf/NaN, but every use of tc sits behind a sign-test select whose
-    condition is then false — no guard needed.
+    ``recips=(rs, rt)`` are the per-axis crossing-denominator reciprocals
+    1/(s1−s0), 1/(t1−t0); opposite edges of a rect pass the same pair
+    negated (e₂ = −e₀ exactly), so 2 divides serve 2 edges — divides are
+    the VPU's most expensive ops here (measured in docs/PERF.md). An edge
+    parallel to a slab axis makes rs ±inf and its two tcs ±inf: inside
+    the slab they land ∓/±inf (window unconstrained), outside both land
+    on the same side (window empty) — IEEE propagation gives the right
+    answer with no guard. The only NaN source, 0·inf from a parallel edge
+    LYING ON a slab boundary, cannot occur for real pairs: the σ shift
+    keeps collinear-boundary distances at ±σ ≠ 0, and a NaN anywhere in
+    the window collapses ``hi > lo`` to False (contribution 0).
     """
-    if recips is None:
-        rs = 1.0 / (d0[0] - d1[0])        # 1/(s1−s0)
-        rt = 1.0 / (d0[2] - d1[2])        # 1/(t1−t0)
-    else:
-        rs, rt = recips
-    tcs = (d0[0] * rs, -(d0[1] * rs), d0[2] * rt, -(d0[3] * rt))
-    t_lo = jnp.zeros_like(p0x)
-    t_hi = jnp.ones_like(p0x)
-    empty = jnp.zeros_like(p0x, dtype=bool)
-    for a, b, tc in zip(d0, d1, tcs):
-        t_lo = jnp.where((a < 0) & (b >= 0), jnp.maximum(t_lo, tc), t_lo)
-        t_hi = jnp.where((b < 0) & (a >= 0), jnp.minimum(t_hi, tc), t_hi)
-        empty = empty | ((a < 0) & (b < 0))
-    valid = (~empty) & (t_hi > t_lo)
-    c = 0.5 * (t_hi - t_lo) * (p0x * p1y - p0y * p1x)
-    return jnp.where(valid, c, 0.0)
+    rs, rt = recips
+    tc0 = d0[0] * rs                       # crossing of s = +hw′
+    tc1 = -(d0[1] * rs)                    # crossing of s = −hw′
+    tc2 = d0[2] * rt
+    tc3 = -(d0[3] * rt)
+    lo = jnp.maximum(jnp.maximum(jnp.minimum(tc0, tc1),
+                                 jnp.minimum(tc2, tc3)), 0.0)
+    hi = jnp.minimum(jnp.minimum(jnp.maximum(tc0, tc1),
+                                 jnp.maximum(tc2, tc3)), 1.0)
+    c = 0.5 * (hi - lo) * (p0x * p1y - p0y * p1x)
+    return jnp.where(hi > lo, c, 0.0)
 
 
 def inter_area_green(acx, acy, aw, ah, ath, bcx, bcy, bw, bh, bth):
@@ -176,11 +184,11 @@ def inter_area_green(acx, acy, aw, ah, ath, bcx, bcy, bw, bh, bth):
         n = (k + 1) % 4
         # A's edge k, coordinates rel. B center, clipped to expanded B
         area = area + _edge_contrib(pax[k], pay[k], pax[n], pay[n],
-                                    da[k], da[n], recips=ra[k])
+                                    da[k], ra[k])
         # B's edge k, coordinates rel. B center (its own offsets),
         # clipped to shrunk A
         area = area + _edge_contrib(brx[k], bry[k], brx[n], bry[n],
-                                    db[k], db[n], recips=rb[k])
+                                    db[k], rb[k])
     return jnp.maximum(area, 0.0)
 
 

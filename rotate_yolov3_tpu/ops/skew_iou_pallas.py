@@ -276,8 +276,8 @@ def _iou_tile_kernel(a_ref, b_ref, out_ref, *, block_n=None, block_m=None,
         _iou_tile_body(a_ref, b_ref, out_ref, algo)
 
 
-def _iou_tile_value(a_ref, b_ref, algo="green"):
-    """The (BN, BM) IoU tile as a value (shared by both kernel bodies)."""
+def _inter_areas_tile(a_ref, b_ref, algo="green"):
+    """(BN, BM) clamped intersection area + per-side box areas."""
     acx = a_ref[:, 0][:, None]
     acy = a_ref[:, 1][:, None]
     aw = a_ref[:, 2][:, None]
@@ -306,6 +306,12 @@ def _iou_tile_value(a_ref, b_ref, algo="green"):
     area_a = aw * ah
     area_b = bw * bh
     inter = jnp.minimum(inter, jnp.minimum(area_a, area_b))
+    return inter, area_a, area_b
+
+
+def _iou_tile_value(a_ref, b_ref, algo="green"):
+    """The (BN, BM) IoU tile as a value (shared by both kernel bodies)."""
+    inter, area_a, area_b = _inter_areas_tile(a_ref, b_ref, algo)
     return inter / (area_a + area_b - inter + _EPS)
 
 
@@ -433,12 +439,19 @@ def _kill_tile_kernel(a_ref, b_ref, out_ref, *, block_n, block_m,
 
     @pl.when(needed)
     def _compute():
-        iou = _iou_tile_value(a_ref, b_ref, algo)
+        inter, area_a, area_b = _inter_areas_tile(a_ref, b_ref, algo)
         ri = jax.lax.broadcasted_iota(jnp.int32, (block_n, block_m), 0) \
             + i * block_n
         ci = jax.lax.broadcasted_iota(jnp.int32, (block_n, block_m), 1) \
             + j * block_m
-        kill = (iou > iou_thr) & (ci > ri)
+        # divide-free threshold: inter/(A+B−inter) > thr algebraically ⇔
+        # inter·(1+thr) > thr·(A+B) (denominator > 0: inter is clamped to
+        # min(A,B) ≤ A+B); zero-padded rows give 0 > 0 = False on both
+        # forms. Skips the per-pair divide + _EPS of the matrix kernel —
+        # keep decisions can differ from the matrix path only for pairs
+        # within FP rounding (~1e-7 relative) of the threshold itself.
+        over = inter * (1.0 + iou_thr) > iou_thr * (area_a + area_b)
+        kill = over & (ci > ri)
         if use_cls:
             same = a_ref[:, 5][:, None] == b_ref[5, :][None, :]
             kill = kill & same
@@ -450,19 +463,30 @@ def _kill_tile_kernel(a_ref, b_ref, out_ref, *, block_n, block_m,
 def skew_kill_matrix_pallas(boxes: jnp.ndarray,
                             cls_id: Optional[jnp.ndarray] = None,
                             iou_thr: float = 0.4,
-                            block_n: int = 64, block_m: int = 128,
+                            block_n: Optional[int] = None,
+                            block_m: Optional[int] = None,
                             interpret: bool = False,
                             algo: str = "green") -> jnp.ndarray:
     """Greedy-NMS kill mask for score-sorted boxes: (K, 5) -> (K, K) int8.
 
     ``kill[i, j] = 1`` iff row i suppresses row j when kept: strictly
     upper-triangular (rows are score-descending), same class (when
-    ``cls_id`` given), exact skew-IoU > ``iou_thr`` — the same f32 IoU
-    values ``skew_iou_matrix_pallas`` produces, thresholded in-kernel, so
-    keep masks are bit-identical to the matrix path (pinned in
-    tests/test_nms.py). Feed to ``rotated_nms.greedy_suppress_fixpoint_kill``.
+    ``cls_id`` given), exact skew-IoU > ``iou_thr`` via the divide-free
+    predicate inter·(1+thr) > thr·(A+B) — algebraically the same
+    comparison the matrix path makes on its f32 IoU values, so keep masks
+    can differ from it only for pairs within FP rounding of the threshold
+    (pinned in tests/test_nms.py / test_pallas.py). Feed to
+    ``rotated_nms.greedy_suppress_fixpoint_kill``.
+
+    ``block_n``/``block_m`` default by capacity: (128, 256) when K is a
+    multiple of 256 (the 512-dense configuration's measured best, −3% vs
+    (64, 128); docs/PERF.md sweep), else (64, 128).
     """
     n = boxes.shape[0]
+    if block_n is None:
+        block_n = 128 if n % 256 == 0 else 64
+    if block_m is None:
+        block_m = 256 if n % 256 == 0 else 128
     a_aos = _prepare_aos(boxes, block_n)
     b_soa = _prepare_soa(boxes, block_m)
     if cls_id is not None:

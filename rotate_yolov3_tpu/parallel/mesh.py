@@ -50,7 +50,9 @@ def make_parallel_train_step(train_step: Callable, mesh: Mesh) -> Callable:
         in_specs=(replicated, sharded, sharded, sharded),
         out_specs=(replicated, replicated),
         check_vma=False)
-    return jax.jit(fn)
+    # donate the replicated train state (rewritten every step; the caller
+    # reassigns ts = fn(ts, ...)) — in-place buffer reuse on every device
+    return jax.jit(fn, donate_argnums=(0,))
 
 
 def shard_batch(mesh: Mesh, *arrays):

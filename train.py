@@ -126,8 +126,12 @@ def train(opt):
                     make_train_step(sspec, optimizer, axis_name=DATA_AXIS,
                                     **step_kwargs), mesh)
             else:
+                # donate the train state: params/momentum/BN buffers are
+                # rewritten every step — in-place reuse instead of a
+                # fresh ~3x-param-bytes allocation + copy per step
                 fn = jax.jit(make_train_step(sspec, optimizer,
-                                             **step_kwargs))
+                                             **step_kwargs),
+                             donate_argnums=(0,))
             _step_cache[size] = fn
         return _step_cache[size]
 

@@ -150,14 +150,19 @@ def head_scores(raw: jnp.ndarray, spec: YoloSpec,
     """
     b = raw.shape[0]
     if field_major:
-        bb, h, w, _ = raw.shape
-        p = raw.reshape(bb, h, w, spec.no, spec.na)
-        obj = jax.nn.sigmoid(p[..., 5, :])
+        # field f owns the CONTIGUOUS lane range [f*na, (f+1)*na) — static
+        # lane slices, no (no, na) lane-splitting reshape (which re-tiles
+        # to a narrow minor dim; measured cost in docs/PERF.md)
+        na = spec.na
+        obj = jax.nn.sigmoid(raw[..., 5 * na:6 * na])
         if spec.num_classes > 1:
             # max of logits == argmax of sigmoids (monotonic)
-            cls = jax.nn.sigmoid(jnp.max(p[..., 6:, :], axis=-2))
+            m = raw[..., 6 * na:7 * na]
+            for c in range(1, spec.num_classes):
+                m = jnp.maximum(m, raw[..., (6 + c) * na:(7 + c) * na])
+            cls = jax.nn.sigmoid(m)
         else:
-            cls = jax.nn.sigmoid(p[..., 6, :])
+            cls = jax.nn.sigmoid(raw[..., 6 * na:7 * na])
         return (obj * cls).reshape(b, -1)
     p = reshape_head(raw, spec)
     obj = jax.nn.sigmoid(p[..., 5])

@@ -192,6 +192,94 @@ def inter_area_green(acx, acy, aw, ah, ath, bcx, bcy, bw, bh, bth):
     return jnp.maximum(area, 0.0)
 
 
+def inter_area_green_bframe(acx, acy, aw, ah, ath, bcx, bcy, bw, bh, bth):
+    """``inter_area_green`` computed entirely in B's ROTATED frame.
+
+    Same slab-clipped Green decomposition (area and clip windows are
+    rotation invariant), but with every coordinate expressed in B's local
+    frame the geometry simplifies:
+      * B's clip slabs are AXIS-ALIGNED: A-corner distances are plain
+        ``bhw′ ∓ S`` (no per-corner dot products);
+      * B's corners are the constants (±bhw, ±bhh) and all four of B's
+        edge cross products collapse to the per-box constant 2·bhw·bhh;
+      * every clip-denominator reciprocal is 1/(2·m) for one of the eight
+        half-dim×cosΔ/sinΔ products m — no edge-direction dot products.
+    ~15% fewer per-pair VPU ops than ``inter_area_green`` (docs/PERF.md);
+    bit-comparable within FP reassociation (pinned in tests).
+    """
+    uax, uay = jnp.cos(ath), jnp.sin(ath)
+    ubx, uby = jnp.cos(bth), jnp.sin(bth)
+    ca = uax * ubx + uay * uby                   # cos(θa − θb)
+    sa = uay * ubx - uax * uby                   # sin(θa − θb)
+    ox, oy = acx - bcx, acy - bcy
+    os_ = ox * ubx + oy * uby                    # A center in B frame
+    ot = -ox * uby + oy * ubx
+
+    ahw, ahh = aw * 0.5, ah * 0.5
+    bhw, bhh = bw * 0.5, bh * 0.5
+    sig = _SIG_REL * (0.5 * (aw + ah + bw + bh)
+                      + jnp.abs(ox) + jnp.abs(oy))
+    bhw_r, bhh_r = bhw + sig, bhh + sig          # B expanded (relaxed)
+    ahw_s, ahh_s = ahw - sig, ahh - sig          # A shrunk (strict)
+
+    m1, m2 = ahw * ca, ahh * sa
+    m3, m4 = ahw * sa, ahh * ca
+    # A corners in B frame: S_k = os ± (m1 ∓ m2), T_k = ot ± (m3 ± m4),
+    # signs per _SIGNS ((−1,−1),(1,−1),(1,1),(−1,1))
+    p, q = m1 - m2, m1 + m2
+    r, w_ = m3 + m4, m3 - m4
+    S = [os_ - p, os_ + q, os_ + p, os_ - q]
+    T = [ot - r, ot + w_, ot + r, ot - w_]
+    da = [(bhw_r - S[k], bhw_r + S[k], bhh_r - T[k], bhh_r + T[k])
+          for k in range(4)]
+    # A edge directions: e0 = (2m1, 2m3), e1 = (−2m2, 2m4), e2/e3 negated
+    ra = [(0.5 / m1, 0.5 / m3), (-0.5 / m2, 0.5 / m4)]
+    ra += [(-ra[0][0], -ra[0][1]), (-ra[1][0], -ra[1][1])]
+
+    n1, n2 = bhw * ca, bhh * sa
+    n3, n4 = bhw * sa, bhh * ca
+    # B corners projected on A's axes, A-centered: u_k = ±n1 ± n2 − cu,
+    # v_k = ∓n3 ± n4 − cv
+    cu = os_ * ca + ot * sa
+    cv = -os_ * sa + ot * ca
+    pu, qu = n1 - n2, n1 + n2
+    rv, wv = n4 - n3, n4 + n3
+    U = [-qu - cu, pu - cu, qu - cu, -pu - cu]
+    V = [-rv - cv, -wv - cv, rv - cv, wv - cv]
+    db = [(ahw_s - U[k], ahw_s + U[k], ahh_s - V[k], ahh_s + V[k])
+          for k in range(4)]
+    # B edge directions on A's axes: e0 = (2bhw, 0) → (2n1, −2n3);
+    # e1 = (0, 2bhh) → (2n2, 2n4); e2/e3 negated
+    rb = [(0.5 / n1, -0.5 / n3), (0.5 / n2, 0.5 / n4)]
+    rb += [(-rb[0][0], -rb[0][1]), (-rb[1][0], -rb[1][1])]
+
+    # B's own-edge cross products in B frame: every edge contributes the
+    # same p0×p1 = 2·bhw·bhh (axis-aligned CCW square)
+    bcross = 2.0 * bhw * bhh
+
+    area = jnp.zeros_like(os_)
+    for k in range(4):
+        n = (k + 1) % 4
+        area = area + _edge_contrib(S[k], T[k], S[n], T[n], da[k], ra[k])
+        area = area + _edge_contrib_cross(bcross, db[k], rb[k])
+    return jnp.maximum(area, 0.0)
+
+
+def _edge_contrib_cross(cross, d0, recips):
+    """``_edge_contrib`` with the p0×p1 cross product precomputed."""
+    rs, rt = recips
+    tc0 = d0[0] * rs
+    tc1 = -(d0[1] * rs)
+    tc2 = d0[2] * rt
+    tc3 = -(d0[3] * rt)
+    lo = jnp.maximum(jnp.maximum(jnp.minimum(tc0, tc1),
+                                 jnp.minimum(tc2, tc3)), 0.0)
+    hi = jnp.minimum(jnp.minimum(jnp.maximum(tc0, tc1),
+                                 jnp.maximum(tc2, tc3)), 1.0)
+    c = 0.5 * (hi - lo) * cross
+    return jnp.where(hi > lo, c, 0.0)
+
+
 def skew_iou_green(b1: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
     """Elementwise exact skew-IoU of broadcastable (..., 5) rotated boxes.
 

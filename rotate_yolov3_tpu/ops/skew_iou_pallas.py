@@ -289,14 +289,16 @@ def _inter_areas_tile(a_ref, b_ref, algo="green"):
     bh = b_ref[3, :][None, :]
     bth = b_ref[4, :][None, :]
 
-    if algo == "green":
+    if algo in ("green", "green2"):
         # Green's-theorem edge-clipping formulation: no candidate
         # enumeration, no compaction, no rank-sort — ~3x fewer VPU ops per
-        # pair than the candidate path (see ops.skew_iou_green)
-        from .skew_iou_green import inter_area_green
+        # pair than the candidate path (see ops.skew_iou_green).
+        # "green2" = the same math in B's rotated frame (axis-aligned B
+        # slabs, constant B crosses — ~15% fewer ops again).
+        from .skew_iou_green import inter_area_green, inter_area_green_bframe
 
-        inter = inter_area_green(acx, acy, aw, ah, ath,
-                                 bcx, bcy, bw, bh, bth)
+        fn = inter_area_green_bframe if algo == "green2" else inter_area_green
+        inter = fn(acx, acy, aw, ah, ath, bcx, bcy, bw, bh, bth)
     else:
         ax, ay = _corners(acx, acy, aw, ah, ath)
         bx, by = _corners(bcx, bcy, bw, bh, bth)

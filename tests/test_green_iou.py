@@ -181,3 +181,38 @@ def test_pallas_green_triangle_nms_keep_mask_unchanged():
             greedy_suppress_fixpoint(iou, valid, 0.4))
     np.testing.assert_array_equal(keeps["green"], keeps["candidates"])
     assert keeps["green"].any()
+
+
+def test_bframe_green_matches_green():
+    """inter_area_green_bframe == inter_area_green (same math in B's
+    rotated frame) on random and degenerate configs, and the kill-mask
+    kernel with algo="green2" keeps the same detections."""
+    from rotate_yolov3_tpu.ops.skew_iou_green import (inter_area_green,
+                                                      inter_area_green_bframe)
+    from rotate_yolov3_tpu.ops.skew_iou_pallas import skew_kill_matrix_pallas
+
+    rng = np.random.default_rng(21)
+    a = _random_boxes(rng, 128, spread=60.0)
+    b = _random_boxes(rng, 128, spread=60.0)
+    # degenerate rows: identical pair, same-angle shifted, touching,
+    # axis-aligned, contained, zero-area padding
+    a[:6] = [[10, 10, 8, 4, 0.3], [10, 10, 8, 4, 0.3], [14, 10, 8, 4, 0.3],
+             [20, 10, 4, 4, 0.0], [10, 10, 40, 20, 1.2], [0, 0, 0, 0, 0.0]]
+    b[:6] = a[:6]
+
+    def args(x):
+        x = jnp.asarray(x)
+        return x[:, 0], x[:, 1], x[:, 2], x[:, 3], x[:, 4]
+
+    g1 = np.asarray(inter_area_green(*args(a), *args(b)))
+    g2 = np.asarray(inter_area_green_bframe(*args(a), *args(b)))
+    scale = 1.0 + np.maximum(g1, 0.0)
+    np.testing.assert_allclose(g2 / scale, g1 / scale, atol=1e-4)
+
+    k1 = np.asarray(skew_kill_matrix_pallas(
+        jnp.asarray(a), None, iou_thr=0.4, block_n=16, block_m=32,
+        interpret=True, algo="green"))
+    k2 = np.asarray(skew_kill_matrix_pallas(
+        jnp.asarray(a), None, iou_thr=0.4, block_n=16, block_m=32,
+        interpret=True, algo="green2"))
+    np.testing.assert_array_equal(k1, k2)

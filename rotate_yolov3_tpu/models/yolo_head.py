@@ -231,7 +231,11 @@ def _decode_gathered_concat(head_raws, yolo_specs, idx, field_major):
     cell_g = idx // na
     a_idx = idx % na
 
-    r_cells = jnp.take_along_axis(cells_all, cell_g[..., None], axis=1)
+    # row fetch: Pallas aligned-block gather on TPU (XLA's generic gather
+    # costs ~28 cycles/row — measured variants in docs/PERF.md), exact
+    # jnp.take_along_axis elsewhere; identical values either way
+    from ..ops import gather_rows
+    r_cells = gather_rows.gather_rows_auto(cells_all, cell_g)
     # anchor selection as a LANE mask + static selection-matrix matmul:
     # reshaping (b, k, na*no) to split the lane dim re-tiles to a
     # narrow (≤8-wide) minor dim, measured +3 us/img over this form at

@@ -330,3 +330,39 @@ def test_field_major_heads_bit_identical():
         max_det=32, approx_top_k=False, field_major=True)
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_field_major_multiclass_bit_identical():
+    """nc>1 exercises the multi-class branches of the field-major paths:
+    head_scores' per-class lane-slice max chain and decode_gathered's cls
+    handling (the nc=1 test above covers only the single-class slices).
+    Synthetic raw heads, no network: permuting channels anchor-major ->
+    field-major must leave fused-NMS outputs bit-identical."""
+    from rotate_yolov3_tpu.models.darknet import YoloSpec
+    from rotate_yolov3_tpu.models.yolo_head import field_major_perm
+    from rotate_yolov3_tpu.ops.rotated_nms import non_max_suppression_fused
+
+    nc = 15
+    specs = [
+        YoloSpec(index=10, anchors_wh=((40.0, 20.0), (24.0, 24.0)),
+                 anchor_angles=(-0.5, 0.0, 0.5), num_classes=nc,
+                 stride=16, ignore_thresh=0.5),
+        YoloSpec(index=20, anchors_wh=((16.0, 8.0), (12.0, 12.0)),
+                 anchor_angles=(-0.5, 0.0, 0.5), num_classes=nc,
+                 stride=8, ignore_thresh=0.5),
+    ]
+    rng = np.random.default_rng(7)
+    heads, heads_fm = [], []
+    for s, g in zip(specs, (6, 12)):
+        raw = rng.normal(size=(2, g, g, s.na * s.no)).astype(np.float32)
+        heads.append(jnp.asarray(raw))
+        heads_fm.append(jnp.asarray(raw[..., field_major_perm(s)]))
+
+    d1, m1 = non_max_suppression_fused(
+        heads, specs, conf_thres=0.2, nms_thres=0.4, max_det=32,
+        approx_top_k=False)
+    d2, m2 = non_max_suppression_fused(
+        heads_fm, specs, conf_thres=0.2, nms_thres=0.4, max_det=32,
+        approx_top_k=False, field_major=True)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))

@@ -112,8 +112,9 @@ def train(opt):
             return tuple(jnp.asarray(x) for x in b)
 
     # One step function per net-input size. Multi-scale training (the
-    # reference's [yolo] random=1 behavior) picks a size per epoch from
-    # 0.67x..1.5x in 32px steps — each size compiles once (jit cache).
+    # reference's [yolo] random=1 behavior) draws a size every
+    # ~ms_interval batches from 0.67x..1.5x in 32px steps — each size
+    # compiles once (jit cache).
     import dataclasses as _dc
 
     _step_cache = {}

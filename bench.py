@@ -100,22 +100,53 @@ def bench(batch_size: int = 128, scan_iters: int = 16, trials: int = 2,
 
 
 if __name__ == "__main__":
+    # Watchdog: the axon tunnel can die outright (CLAUDE.md rule 9), after
+    # which every device op hangs FOREVER with no error — a hung bench would
+    # stall the driver. Worst observed healthy run (cold remote compile of
+    # both capacities) is well under 20 min; at 40 min print the one JSON
+    # line with an error marker and hard-exit.
+    import threading
+
+    def _watchdog():
+        print(json.dumps({
+            "metric": "608x608_inference_throughput", "value": 0.0,
+            "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "error": "watchdog timeout: TPU tunnel unreachable or "
+                     "compile stalled (see CLAUDE.md rule 9)"}),
+            flush=True)
+        os._exit(3)
+
+    t = threading.Timer(2400.0, _watchdog)
+    t.daemon = True
+    t.start()
+
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     md = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    ips = bench(batch_size=bs, max_det=md, verbose=True)
-    metric = "608x608_inference_throughput"
-    if md != 128:
-        metric += f"_maxdet{md}"
-    out = {
-        "metric": metric,
-        "value": round(ips, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(ips / 1000.0, 4),
-    }
-    if len(sys.argv) == 1:
-        # driver mode: also measure the dense-scene capacity (max_det=512,
-        # dota.py's detect default) so both product configurations are on
-        # record — same JSON line, extra key (schema-compatible).
-        out["maxdet512_value"] = round(bench(batch_size=bs, max_det=512,
-                                             verbose=True), 2)
+    try:
+        ips = bench(batch_size=bs, max_det=md, verbose=True)
+        metric = "608x608_inference_throughput"
+        if md != 128:
+            metric += f"_maxdet{md}"
+        out = {
+            "metric": metric,
+            "value": round(ips, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(ips / 1000.0, 4),
+        }
+        if len(sys.argv) == 1:
+            # driver mode: also measure the dense-scene capacity
+            # (max_det=512, dota.py's detect default) so both product
+            # configurations are on record — same JSON line, extra key
+            # (schema-compatible).
+            out["maxdet512_value"] = round(bench(batch_size=bs, max_det=512,
+                                                 verbose=True), 2)
+    except Exception as e:
+        # A dead axon relay deregisters the backend entirely (instant
+        # RuntimeError) — the fast-failure sibling of the hang the watchdog
+        # covers. Either way the driver must still get its one JSON line.
+        import traceback
+        traceback.print_exc()
+        out = {"metric": "608x608_inference_throughput", "value": 0.0,
+               "unit": "images/sec/chip", "vs_baseline": 0.0,
+               "error": f"{type(e).__name__}: {e}"}
     print(json.dumps(out))

@@ -8,13 +8,14 @@ backend (measured, docs/PERF.md) — the dominant cost of the decode stage
 at dense capacity (K=512). This kernel keeps each image's (N, C) cell
 block VMEM-resident and extracts rows with aligned vector loads instead:
 
-  * dynamic sublane loads must be 8-aligned on this backend, so row ``i``
-    is fetched as its aligned ``(8, C)`` block ``[8*(i//8), 8*(i//8)+8)``
-    and the target sublane is isolated with an ``iota == i%8`` mask-reduce
-    (3 cheap VPU ops on an (8, C) tile);
-  * 8 extracted rows accumulate into an (8, C) register block that is
-    stored with one aligned write every 8th row — output writes stay
-    8-aligned too.
+  * dynamic sublane accesses must be aligned to the dtype's sublane tile
+    on this backend (8 rows for 4-byte types, 16 for 2-byte, 32 for
+    1-byte), so row ``i`` is fetched as its aligned ``(A, C)`` block and
+    the target sublane is isolated with an ``iota == i%A`` mask-reduce
+    (3 cheap VPU ops on an (A, C) tile);
+  * A extracted rows accumulate into an (A, C) register block that is
+    stored with one aligned write every A-th row — output writes stay
+    tile-aligned too.
 
 Indices arrive via scalar prefetch (SMEM) so the loop bounds and slice
 offsets are scalars, not vectors. Out-of-range indices are clipped (XLA
@@ -42,23 +43,29 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_CAP = 8 * 1024 * 1024
 
 
-def _gather_kernel(idx_ref, cells_ref, out_ref, *, k):
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, cells_ref.shape[-1]), 0)
+def _sublane_align(dtype) -> int:
+    """Sublane-tile row alignment for dynamic slices of this dtype."""
+    return max(8, 32 // jnp.dtype(dtype).itemsize)
+
+
+def _gather_kernel(idx_ref, cells_ref, out_ref, *, k, align):
+    c = cells_ref.shape[-1]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (align, c), 0)
     b = pl.program_id(0)
 
-    def outer(k8, _):
-        acc = jnp.zeros((8, cells_ref.shape[-1]), cells_ref.dtype)
-        for u in range(8):                                  # static unroll
-            i = idx_ref[b, k8 * 8 + u]
-            base = pl.multiple_of((i // 8) * 8, 8)
-            blk = cells_ref[0, pl.ds(base, 8), :]           # aligned load
-            row = jnp.sum(jnp.where(sub == (i % 8), blk, 0), axis=0,
+    def outer(g, _):
+        acc = jnp.zeros((align, c), cells_ref.dtype)
+        for u in range(align):                              # static unroll
+            i = idx_ref[b, g * align + u]
+            base = pl.multiple_of((i // align) * align, align)
+            blk = cells_ref[0, pl.ds(base, align), :]       # aligned load
+            row = jnp.sum(jnp.where(sub == (i % align), blk, 0), axis=0,
                           keepdims=True)                    # (1, C)
             acc = jnp.where(sub == u, row, acc)             # const mask
-        out_ref[0, pl.ds(pl.multiple_of(k8 * 8, 8), 8), :] = acc
+        out_ref[0, pl.ds(pl.multiple_of(g * align, align), align), :] = acc
         return 0
 
-    jax.lax.fori_loop(0, k // 8, outer, 0)
+    jax.lax.fori_loop(0, k // align, outer, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -67,13 +74,15 @@ def gather_rows_pallas(cells: jnp.ndarray, idx: jnp.ndarray,
     """(B, N, C) cells + (B, K) int32 row indices -> (B, K, C).
 
     Equals ``jnp.take_along_axis(cells, idx[..., None], axis=1)`` with
-    indices clipped to [0, N). K must be a multiple of 8 (true for every
-    ``max_det`` the product uses); N is padded to a multiple of 8 here.
+    indices clipped to [0, N). K must be a multiple of the dtype's
+    sublane alignment (8 for f32, 16 for bf16 — true for every
+    ``max_det`` the product uses); N is padded up to it here.
     """
     b, n, c = cells.shape
     k = idx.shape[1]
-    assert idx.shape[0] == b and k % 8 == 0, (idx.shape, cells.shape)
-    pad = (-n) % 8
+    align = _sublane_align(cells.dtype)
+    assert idx.shape[0] == b and k % align == 0, (idx.shape, cells.shape)
+    pad = (-n) % align
     if pad:
         cells = jnp.pad(cells, ((0, 0), (0, pad), (0, 0)))
     idx = jnp.clip(idx.astype(jnp.int32), 0, n - 1)
@@ -85,7 +94,7 @@ def gather_rows_pallas(cells: jnp.ndarray, idx: jnp.ndarray,
         out_specs=pl.BlockSpec((1, k, c), lambda i, idx_ref: (i, 0, 0)),
     )
     return pl.pallas_call(
-        functools.partial(_gather_kernel, k=k),
+        functools.partial(_gather_kernel, k=k, align=align),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, k, c), cells.dtype),
         interpret=interpret,
@@ -96,9 +105,10 @@ def gather_rows_auto(cells: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Pallas on TPU when shapes allow, XLA ``take_along_axis`` otherwise."""
     b, n, c = cells.shape
     k = idx.shape[1]
+    align = _sublane_align(cells.dtype)
     # lane dim is padded to 128 in VMEM regardless of C
-    vmem = (n + 7) // 8 * 8 * max(c, 128) * cells.dtype.itemsize
-    if (jax.default_backend() == "tpu" and k % 8 == 0
+    vmem = (-(-n // align) * align) * max(c, 128) * cells.dtype.itemsize
+    if (jax.default_backend() == "tpu" and k % align == 0
             and vmem <= _VMEM_CAP):
         return gather_rows_pallas(cells, idx)
     return jnp.take_along_axis(cells, idx[..., None].astype(jnp.int32),

@@ -25,12 +25,15 @@ def test_pallas_gather_matches_xla(n, c, k):
 
 
 def test_pallas_gather_bf16_and_dup_indices():
+    # bf16 uses a 16-row sublane alignment (K must be a multiple of 16)
     r = np.random.default_rng(1)
     cells = jnp.asarray(
         r.normal(size=(2, 40, 42)).astype(np.float32)).astype(jnp.bfloat16)
     # duplicates + boundary rows + out-of-range (clipped like XLA mode=clip)
-    idx = jnp.asarray(np.array([[0, 0, 39, 39, 7, 8, 31, 32],
-                                [5, 5, 5, 5, 0, 39, 41, -1]], np.int32))
+    idx = jnp.asarray(np.array(
+        [[0, 0, 39, 39, 7, 8, 31, 32, 15, 16, 17, 1, 2, 3, 38, 20],
+         [5, 5, 5, 5, 0, 39, 41, -1, 9, 9, 12, 33, 25, 24, 23, 6]],
+        np.int32))
     got = gather_rows_pallas(cells, idx, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(_ref(cells, idx)))
 

@@ -331,3 +331,40 @@ def test_full_image_to_detections_parity(tmp_path):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(got[:, 5], score[kept], rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(got[:, 6].astype(int), cls_id[kept])
+
+
+def test_jax_vs_torch_forward_full_darknet53(tmp_path):
+    """Activation parity for the FLAGSHIP cfg (full Darknet-53, 23 residual
+    shortcuts, 3 rotated heads) — the tiny-cfg test above exercises one
+    shortcut; this covers the whole depth at a reduced input size. Random
+    weights through the real .weights byte path, torch-cpu second
+    implementation, f32 end to end."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = os.path.join(ROOT, "cfg/yolov3-rotate-hrsc.cfg")
+    img_size = 96
+    spec = build_network(parse_model_cfg(cfg), img_size=img_size)
+    params, state = init_params(spec, jax.random.PRNGKey(3))
+    state = jax.tree.map(
+        lambda a: a + 0.05 * jnp.arange(a.size, dtype=a.dtype) / a.size,
+        state)
+    wpath = str(tmp_path / "full_parity.weights")
+    save_darknet_weights(spec, params, state, wpath)
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 1, (1, img_size, img_size, 3)).astype(np.float32)
+
+    heads_jax, _ = apply_network(spec, params, state,
+                                 jnp.asarray(img), train=False)
+    heads_torch = torch_forward_from_weights(
+        spec, wpath, torch.from_numpy(img.transpose(0, 3, 1, 2)))
+
+    assert len(heads_jax) == len(heads_torch) == 3
+    for hj, ht in zip(heads_jax, heads_torch):
+        hj = np.asarray(hj)
+        ht = ht.detach().numpy().transpose(0, 2, 3, 1)
+        assert hj.shape == ht.shape
+        # 53 conv layers of f32 accumulation drift: slightly looser than
+        # the 9-conv tiny net's 2e-4
+        np.testing.assert_allclose(hj, ht, rtol=1e-3, atol=1e-3)

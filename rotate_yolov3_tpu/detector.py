@@ -66,6 +66,11 @@ class Detector:
         which near-rank-K duplicates enter NMS — candidates greedy NMS
         overwhelmingly suppresses anyway. None (default): approx on TPU,
         exact elsewhere (so CPU parity paths stay bit-reproducible).
+      iou_algo: per-pair formulation of the NMS kill-mask kernel —
+        "green" (Green's-theorem slab clipping), "green2" (the same math
+        in B's rotated frame, fewer VPU ops), or "candidates"
+        (24-candidate rank-sort cross-check). All exact; measured numbers
+        in docs/PERF.md.
     """
 
     def __init__(self, cfg_path: str, weights: Optional[str] = None,
@@ -75,7 +80,8 @@ class Detector:
                  seed: int = 0, devices: int = 0,
                  packed_stem: bool = False,
                  approx_top_k: Optional[bool] = None,
-                 field_major_heads: bool = True):
+                 field_major_heads: bool = True,
+                 iou_algo: str = "green"):
         self.spec: NetworkSpec = build_network(
             parse_model_cfg(cfg_path), img_size=img_size)
         self.img_size = self.spec.img_size
@@ -138,7 +144,7 @@ class Detector:
                 heads, spec.yolo_specs, conf_thres=conf_thres,
                 nms_thres=nms_thres, max_det=max_det,
                 iou_matrix_fn=iou_matrix_fn, approx_top_k=approx_top_k,
-                field_major=field_major)
+                field_major=field_major, iou_algo=iou_algo)
 
         # the pure function is public so bench.py can scan over EXACTLY the
         # product inference math (VERDICT r1: bench path must == product path)

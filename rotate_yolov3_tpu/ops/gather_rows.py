@@ -54,15 +54,19 @@ def _gather_kernel(idx_ref, cells_ref, out_ref, *, k, align):
     b = pl.program_id(0)
 
     def outer(g, _):
-        acc = jnp.zeros((align, c), cells_ref.dtype)
+        rows = []
         for u in range(align):                              # static unroll
             i = idx_ref[b, g * align + u]
             base = pl.multiple_of((i // align) * align, align)
             blk = cells_ref[0, pl.ds(base, align), :]       # aligned load
-            row = jnp.sum(jnp.where(sub == (i % align), blk, 0), axis=0,
-                          keepdims=True)                    # (1, C)
-            acc = jnp.where(sub == u, row, acc)             # const mask
-        out_ref[0, pl.ds(pl.multiple_of(g * align, align), align), :] = acc
+            rows.append(jnp.sum(jnp.where(sub == (i % align), blk, 0),
+                                axis=0, keepdims=True))     # (1, C)
+        # stacking via sublane concatenate — a placement select
+        # (where(sub == u, row, acc)) trips an unimplemented Mosaic i1
+        # relayout ({0,*} -> {*,0}) on the real compiler (never in
+        # interpret mode); concatenate lowers cleanly
+        out_ref[0, pl.ds(pl.multiple_of(g * align, align), align), :] = \
+            jnp.concatenate(rows, axis=0)
         return 0
 
     jax.lax.fori_loop(0, k // align, outer, 0)

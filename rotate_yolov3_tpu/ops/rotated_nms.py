@@ -44,7 +44,7 @@ def _class_masked_iou(iou_matrix_fn: Callable, boxes: jnp.ndarray,
 
 def _nms_keep(iou_matrix_fn: Optional[Callable], boxes: jnp.ndarray,
               cls_id: jnp.ndarray, valid: jnp.ndarray, nms_thres: float,
-              use_cls: bool) -> jnp.ndarray:
+              use_cls: bool, iou_algo: str = "green") -> jnp.ndarray:
     """Greedy keep mask for one image's score-sorted boxes.
 
     Default TPU path: the fused kill-mask kernel (threshold + triangle +
@@ -60,7 +60,8 @@ def _nms_keep(iou_matrix_fn: Optional[Callable], boxes: jnp.ndarray,
         from .skew_iou_pallas import skew_kill_matrix_pallas
 
         kill = skew_kill_matrix_pallas(
-            boxes, cls_id if use_cls else None, iou_thr=nms_thres)
+            boxes, cls_id if use_cls else None, iou_thr=nms_thres,
+            algo=iou_algo)
         return greedy_suppress_fixpoint_kill(kill != 0, valid)
     if iou_matrix_fn is None:
         from .skew_iou import skew_iou_matrix
@@ -217,7 +218,8 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
                               nms_thres: float = 0.4, max_det: int = 512,
                               iou_matrix_fn: Optional[Callable] = None,
                               approx_top_k: bool = True,
-                              field_major: bool = False
+                              field_major: bool = False,
+                              iou_algo: str = "green"
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Score-first NMS straight from raw head maps (production path).
 
@@ -255,7 +257,7 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
 
     def one(boxes_b, scores_b, cls_b, valid_b):
         keep = _nms_keep(iou_matrix_fn, boxes_b, cls_b, valid_b,
-                         nms_thres, use_cls=nc > 1)
+                         nms_thres, use_cls=nc > 1, iou_algo=iou_algo)
         out = jnp.concatenate(
             [boxes_b, scores_b[:, None],
              cls_b[:, None].astype(boxes_b.dtype)], axis=-1)

@@ -110,6 +110,10 @@ def build_targets_head(targets: jnp.ndarray, valid: jnp.ndarray,
     scatter_idx = jnp.where(assigned, flat, size).astype(jnp.int32)
 
     # --- dense objectness target --------------------------------------------
+    # A compare-reduce formulation (fused (B, G, size) equality -> max) was
+    # measured IDENTICAL to this scatter in the full train program
+    # (docs/PERF.md r3 decomposition) — the scatter is not on the critical
+    # path, so the simpler form stays.
     batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, g))
     obj_target = jnp.zeros((b, size), jnp.float32)
     obj_target = obj_target.at[batch_idx, scatter_idx].set(1.0, mode="drop")

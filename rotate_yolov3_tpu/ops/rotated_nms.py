@@ -147,7 +147,7 @@ def greedy_suppress_fixpoint(iou: jnp.ndarray, valid: jnp.ndarray,
 
 def _nms_single(pred: jnp.ndarray, conf_thres: float, nms_thres: float,
                 max_det: int, iou_matrix_fn: Callable,
-                approx_top_k: bool = False
+                approx_top_k: bool = False, iou_algo: str = "green"
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-image NMS: (N, 6+nc) decoded preds -> ((max_det, 7), (max_det,))."""
     nc = pred.shape[-1] - 6
@@ -177,7 +177,7 @@ def _nms_single(pred: jnp.ndarray, conf_thres: float, nms_thres: float,
     top_boxes = jnp.where(valid[:, None], top_boxes, 0.0)
 
     keep = _nms_keep(iou_matrix_fn, top_boxes, top_cls, valid, nms_thres,
-                     use_cls=nc > 1)
+                     use_cls=nc > 1, iou_algo=iou_algo)
 
     out = jnp.concatenate(
         [top_boxes, top_scores[:, None], top_cls[:, None].astype(pred.dtype)],
@@ -192,7 +192,7 @@ def _nms_single(pred: jnp.ndarray, conf_thres: float, nms_thres: float,
 def non_max_suppression(pred: jnp.ndarray, conf_thres: float = 0.1,
                         nms_thres: float = 0.4, max_det: int = 512,
                         iou_matrix_fn: Optional[Callable] = None,
-                        approx_top_k: bool = False
+                        approx_top_k: bool = False, iou_algo: str = "green"
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched rotated NMS: the reference's L5 public interface, fixed-shape.
 
@@ -210,7 +210,7 @@ def non_max_suppression(pred: jnp.ndarray, conf_thres: float = 0.1,
     single = functools.partial(_nms_single, conf_thres=conf_thres,
                                nms_thres=nms_thres, max_det=max_det,
                                iou_matrix_fn=iou_matrix_fn,
-                               approx_top_k=approx_top_k)
+                               approx_top_k=approx_top_k, iou_algo=iou_algo)
     return jax.vmap(single)(pred)
 
 
@@ -219,7 +219,8 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
                               iou_matrix_fn: Optional[Callable] = None,
                               approx_top_k: bool = True,
                               field_major: bool = False,
-                              iou_algo: str = "green"
+                              iou_algo: str = "green",
+                              fused_greedy: bool = True
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Score-first NMS straight from raw head maps (production path).
 
@@ -231,6 +232,12 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
     declares the head maps use the permuted field-major channel layout
     (``models.yolo_head.field_major_perm``) — same results, lane-contiguous
     score reads.
+
+    ``fused_greedy`` (TPU default): run the kill matrix AND the greedy
+    fixpoint inside one Pallas program (``ops.nms_pallas``) — the (K, K)
+    mask never leaves VMEM. ``fused_greedy=False`` keeps the r3 two-stage
+    path (kill-mask kernel + XLA fixpoint) as an identical-results
+    cross-check.
     """
     from ..models.yolo_head import decode_gathered, head_scores
 
@@ -243,17 +250,57 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
         top_scores, top_idx = jax.lax.approx_max_k(ranked, k)
     else:
         top_scores, top_idx = jax.lax.top_k(ranked, k)
-    rows = decode_gathered(head_raws, yolo_specs, top_idx,
-                           field_major=field_major)     # (B, K, 6+nc)
-
-    nc = rows.shape[-1] - 6
-    boxes = rows[..., :5]
-    if nc > 1:
-        cls_id = jnp.argmax(rows[..., 6:], axis=-1)
-    else:
-        cls_id = jnp.zeros(rows.shape[:2], jnp.int32)
     valid = top_scores > jnp.maximum(conf_thres, 0.0)
-    boxes = jnp.where(valid[..., None], boxes, 0.0)
+
+    nc = yolo_specs[0].num_classes
+    nas = {s.na for s in yolo_specs}
+    decoded = None
+    if (fused_greedy and iou_matrix_fn is None and len(nas) == 1
+            and jax.default_backend() == "tpu"):
+        # single-kernel gather+decode (one-hot MXU matmul + in-kernel
+        # decode, ops.decode_pallas) — same values as decode_gathered
+        # within transcendental rounding
+        from .decode_pallas import (decode_rows_fused_ok,
+                                    decode_rows_pallas, heads_meta)
+
+        na = yolo_specs[0].na
+        no = yolo_specs[0].no
+        cells_all = jnp.concatenate(
+            [r.reshape(r.shape[0], -1, na * no) for r in head_raws], axis=1)
+        if decode_rows_fused_ok(cells_all.shape[1], cells_all.shape[2],
+                                cells_all.dtype.itemsize):
+            meta = heads_meta(yolo_specs, [r.shape for r in head_raws])
+            aos = decode_rows_pallas(cells_all, top_idx, valid, meta,
+                                     na=na, nc=nc,
+                                     field_major=field_major)
+            decoded = (aos[..., :5], aos[..., 5].astype(jnp.int32))
+    if decoded is None:
+        rows = decode_gathered(head_raws, yolo_specs, top_idx,
+                               field_major=field_major)  # (B, K, 6+nc)
+        boxes = rows[..., :5]
+        if nc > 1:
+            cls_id = jnp.argmax(rows[..., 6:], axis=-1)
+        else:
+            cls_id = jnp.zeros(rows.shape[:2], jnp.int32)
+        boxes = jnp.where(valid[..., None], boxes, 0.0)
+    else:
+        boxes, cls_id = decoded
+
+    if (fused_greedy and iou_matrix_fn is None
+            and jax.default_backend() == "tpu"):
+        from .nms_pallas import nms_greedy_fused_ok, nms_greedy_pallas
+
+        if nms_greedy_fused_ok(boxes.shape[1]):
+            keep = nms_greedy_pallas(boxes, cls_id if nc > 1 else None,
+                                     valid, iou_thr=nms_thres, algo=iou_algo)
+            out = jnp.concatenate(
+                [boxes, top_scores[..., None],
+                 cls_id[..., None].astype(boxes.dtype)], axis=-1)
+            out = jnp.where(keep[..., None], out, 0.0)
+            if k < max_det:
+                out = jnp.pad(out, ((0, 0), (0, max_det - k), (0, 0)))
+                keep = jnp.pad(keep, ((0, 0), (0, max_det - k)))
+            return out, keep
 
     def one(boxes_b, scores_b, cls_b, valid_b):
         keep = _nms_keep(iou_matrix_fn, boxes_b, cls_b, valid_b,

@@ -38,12 +38,18 @@ def cmd_detect(opt):
     from rotate_yolov3_tpu.detector import Detector, detections_to_numpy
     from rotate_yolov3_tpu.ops.boxes import scale_coords_rotated
 
+    if bool(opt.tiles) == bool(opt.source):
+        raise SystemExit("pass exactly one of --tiles (pre-split, host "
+                         "pipeline) or --source (full images, on-device "
+                         "tile pipeline)")
     det = Detector(opt.cfg, weights=opt.weights or None,
                    img_size=opt.img_size, conf_thres=opt.conf_thres,
                    nms_thres=opt.nms_thres, max_det=opt.max_det,
                    devices=opt.devices,
                    compute_dtype=jnp.bfloat16 if opt.bf16 else jnp.float32,
                    approx_top_k=True if opt.approx_topk else False)
+    if opt.source:
+        return _detect_device_tiles(opt, det)
     os.makedirs(opt.out, exist_ok=True)
     loader = LoadImages(opt.tiles, img_size=det.img_size)
     n = 0
@@ -60,6 +66,48 @@ def cmd_detect(opt):
             np.savetxt(os.path.join(opt.out, stem + ".txt"), d, fmt="%.4f")
             n += 1
     print(f"detected over {n} tiles -> {opt.out}")
+
+
+def _detect_device_tiles(opt, det):
+    """``--source``: full-resolution images through the ON-DEVICE tile
+    pipeline (tile grid + letterbox + detection + cross-tile merge in one
+    jitted program per source-shape bucket — data.dota.device_tiles), no
+    pre-split tiles on disk. Writes devkit Task-1 files directly."""
+    import time
+
+    import cv2
+    import numpy as np
+
+    from rotate_yolov3_tpu.config.parse import load_classes
+    from rotate_yolov3_tpu.data.dota.device_tiles import DeviceTilePipeline
+    from rotate_yolov3_tpu.data.dota.result_merge import write_task1_results
+
+    pipe = DeviceTilePipeline(det, subsize=opt.subsize, gap=opt.gap,
+                              merge_nms_thres=opt.merge_nms_thres,
+                              max_merged=opt.max_merged)
+    names = load_classes(opt.names) if opt.names else [
+        str(i) for i in range(det.spec.yolo_specs[0].num_classes)]
+    exts = (".png", ".jpg", ".jpeg", ".tif", ".bmp")
+    merged = {}
+    n_tiles = 0
+    t0 = time.perf_counter()
+    for fname in sorted(os.listdir(opt.source)):
+        stem, ext = os.path.splitext(fname)
+        if ext.lower() not in exts:
+            continue
+        img0 = cv2.imread(os.path.join(opt.source, fname))
+        if img0 is None:
+            continue
+        img = img0[:, :, ::-1]          # BGR -> RGB (net-input convention)
+        dets, mask = pipe(img)
+        merged[stem] = dets[mask]
+        n_tiles += pipe.num_tiles(*img.shape[:2])
+    dt = time.perf_counter() - t0
+    write_task1_results(merged, names, opt.out)
+    total = sum(len(v) for v in merged.values())
+    print(f"on-device tile pipeline: {len(merged)} images / {n_tiles} "
+          f"tiles in {dt:.1f}s (incl. compiles), {total} merged "
+          f"detections -> {opt.out}")
 
 
 def cmd_merge(opt):
@@ -120,7 +168,19 @@ def make_parser():
     pd = sub.add_parser("detect")
     pd.add_argument("--cfg", required=True)
     pd.add_argument("--weights", default="")
-    pd.add_argument("--tiles", required=True)
+    pd.add_argument("--tiles", default="",
+                    help="pre-split tile dir (host pipeline; per-tile txt "
+                         "outputs for dota.py merge)")
+    pd.add_argument("--source", default="",
+                    help="FULL-resolution image dir: on-device tile "
+                         "pipeline (tile+detect+merge in one jitted "
+                         "program), writes Task-1 files directly")
+    pd.add_argument("--subsize", type=int, default=1024)
+    pd.add_argument("--gap", type=int, default=200)
+    pd.add_argument("--merge-nms-thres", type=float, default=0.3)
+    pd.add_argument("--max-merged", type=int, default=1024)
+    pd.add_argument("--names", default="",
+                    help="class-names file for --source Task-1 output")
     pd.add_argument("--out", required=True)
     pd.add_argument("--img-size", type=int, default=None)
     pd.add_argument("--batch-size", type=int, default=8)

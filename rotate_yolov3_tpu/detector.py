@@ -91,11 +91,17 @@ class Detector:
         self.compute_dtype = compute_dtype
 
         params, state = init_params(self.spec, jax.random.PRNGKey(seed))
+        # two DISTINCT checkpoint counters (weights_io.LoadMeta): `seen` is
+        # the darknet images-seen counter (.weights header, burn-in math),
+        # `epoch` the torch-lineage epoch index (.pt wrapper, resume
+        # numbering) — conflating them breaks LR-burn-in resume arithmetic
         self.seen = 0
+        self.epoch = -1
         if weights is not None:
             # .pt (reference torch pickle) or .weights (darknet binary)
-            params, state, self.seen = load_weights_file(
+            params, state, meta = load_weights_file(
                 self.spec, params, state, weights)
+            self.seen, self.epoch = meta.seen, meta.epoch
         self.params, self.state = params, state
         self.packed_stem = packed_stem
 

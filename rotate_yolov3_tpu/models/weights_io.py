@@ -29,7 +29,7 @@ the interchange path.
 from __future__ import annotations
 
 import os
-from typing import Dict, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -106,15 +106,29 @@ def load_darknet_weights(spec: NetworkSpec, params: Dict, state: Dict,
     return new_params, new_state, seen
 
 
+class LoadMeta(NamedTuple):
+    """Checkpoint counters, kept SEPARATE because they mean different
+    things: ``seen`` is the darknet header's images-seen counter (drives
+    darknet-style LR burn-in), ``epoch`` is the torch-lineage checkpoint's
+    epoch index (drives ``--resume`` epoch numbering). A ``.weights`` file
+    carries only ``seen``; a ``.pt`` only ``epoch``; the other is its
+    neutral default (0 / -1)."""
+
+    seen: int = 0
+    epoch: int = -1
+
+
 def load_weights_file(spec: NetworkSpec, params: Dict, state: Dict,
-                    path: str) -> Tuple[Dict, Dict, int]:
+                    path: str) -> Tuple[Dict, Dict, LoadMeta]:
     """Load either checkpoint flavor by extension: ``.pt`` (torch pickle,
     the reference's primary format) or darknet ``.weights`` binary.
 
-    Returns (params, state, seen_or_epoch)."""
+    Returns (params, state, LoadMeta)."""
     if path.endswith(".pt"):
-        return load_torch_pt(spec, params, state, path)
-    return load_darknet_weights(spec, params, state, path)
+        params, state, epoch = load_torch_pt(spec, params, state, path)
+        return params, state, LoadMeta(seen=0, epoch=epoch)
+    params, state, seen = load_darknet_weights(spec, params, state, path)
+    return params, state, LoadMeta(seen=seen, epoch=-1)
 
 
 def load_torch_pt(spec: NetworkSpec, params: Dict, state: Dict,

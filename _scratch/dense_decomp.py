@@ -107,6 +107,23 @@ def main(which):
             return jnp.sum(ts) + jnp.sum(ti.astype(jnp.float32))
         run("topk", tk)
 
+    for tname, tfn in (("topk_str", None), ("topk_ex", "exact")):
+        if tname in which:
+            from rotate_yolov3_tpu.ops.topk import strided_topk
+
+            def tk2(imgs, exact=(tfn == "exact")):
+                heads = heads_of(imgs)
+                s = jnp.concatenate(
+                    [head_scores(r, ys, field_major=True)
+                     for r, ys in zip(heads, yolo_specs)], axis=1)
+                ranked = jnp.where(s >= CONF, s, 0.0)
+                if exact:
+                    ts, ti = jax.lax.top_k(ranked, MAXDET)
+                else:
+                    ts, ti = strided_topk(ranked, MAXDET)
+                return jnp.sum(ts) + jnp.sum(ti.astype(jnp.float32))
+            run(tname, tk2)
+
     if "gather" in which:
         from rotate_yolov3_tpu.ops import gather_rows
 
@@ -151,6 +168,7 @@ def main(which):
 
 
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["bb", "scores", "topk", "gather", "decode",
-                             "full_r3", "full", "full_g2"]
+    which = sys.argv[1:] or ["bb", "scores", "topk", "topk_str", "topk_ex",
+                             "gather", "decode", "full_r3", "full",
+                             "full_g2"]
     main(which)

@@ -130,7 +130,9 @@ def make_parser():
     p.add_argument("--devices", type=int, default=0,
                    help="shard batches over N devices (0 = single)")
     p.add_argument("--exact-topk", action="store_true",
-                   help="exact pre-NMS top-k (default: approx on TPU)")
+                   help="exact pre-NMS top-k (default: strided-bin top-k "
+                        "on TPU — deterministic, adjacent-object-safe; "
+                        "see ops/topk.py)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 conv stack (faster on TPU)")
     p.add_argument("--device", type=str, default="",

@@ -190,11 +190,11 @@ def make_parser():
     pd.add_argument("--devices", type=int, default=0,
                     help="shard tile batches over N devices (0 = single)")
     pd.add_argument("--approx-topk", action="store_true",
-                    help="approximate pre-NMS top-k for throughput. DOTA "
-                        "tiles are the dense adjacent-object regime where "
-                        "approx_max_k's contiguous reduction bins can drop "
-                        "one of two neighbouring objects pre-NMS, so the "
-                        "accuracy-bearing default is exact")
+                    help="strided-bin pre-NMS top-k (ops/topk.py) for "
+                        "throughput — unlike the retired lax.approx_max_k "
+                        "it is safe in DOTA's dense adjacent-object "
+                        "regime (tests/test_topk.py); the accuracy-"
+                        "bearing default stays exact ranking")
     pd.add_argument("--bf16", action="store_true")
     pd.add_argument("--device", type=str, default="")
     pd.set_defaults(fn=cmd_detect)

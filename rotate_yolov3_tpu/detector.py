@@ -60,12 +60,15 @@ class Detector:
         packed form is SLOWER (93.6 vs 69.6 us/img stem-only — XLA's TPU
         conv emitter already handles the 3-channel first conv well, see
         docs/PERF.md); the option remains for other backends/shapes.
-      approx_top_k: use ``lax.approx_max_k`` for the pre-NMS candidate
-        top-k. Exact top-k over the ~1e5 per-image scores costs 5% of total
-        inference time on TPU (docs/PERF.md) while approx differs only in
-        which near-rank-K duplicates enter NMS — candidates greedy NMS
-        overwhelmingly suppresses anyway. None (default): approx on TPU,
-        exact elsewhere (so CPU parity paths stay bit-reproducible).
+      approx_top_k: use the strided-bin top-k (``ops.topk.strided_topk``)
+        for the pre-NMS candidate selection. Exact top-k over the ~1e5
+        per-image scores costs 5% of total inference time on TPU
+        (docs/PERF.md); the strided reduction is near-free and — unlike
+        the ``lax.approx_max_k`` it replaced in r4 — cannot drop one of
+        two adjacent-grid-cell objects (contiguous-bin collision,
+        tests/test_topk.py) and behaves identically on every backend.
+        None (default): strided on TPU, exact elsewhere (CPU parity paths
+        stay bit-reproducible against references that sort exactly).
       iou_algo: per-pair formulation of the NMS kill-mask kernel —
         "green" (Green's-theorem slab clipping), "green2" (the same math
         in B's rotated frame, fewer VPU ops), or "candidates"

@@ -33,6 +33,8 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .topk import select_topk
+
 
 def _class_masked_iou(iou_matrix_fn: Callable, boxes: jnp.ndarray,
                       cls_id: jnp.ndarray) -> jnp.ndarray:
@@ -164,12 +166,10 @@ def _nms_single(pred: jnp.ndarray, conf_thres: float, nms_thres: float,
     conf_mask = score >= conf_thres
     ranked = jnp.where(conf_mask, score, 0.0)
     k = min(max_det, pred.shape[0])
-    if approx_top_k:
-        # TPU-native approximate top-k (SIMD bucketed, ~high recall):
-        # much faster than exact sort over the ~1e5 candidate scores.
-        top_scores, top_idx = jax.lax.approx_max_k(ranked, k)
-    else:
-        top_scores, top_idx = jax.lax.top_k(ranked, k)
+    # approx=True -> strided-bin top-k (ops.topk): much faster than exact
+    # sort over the ~1e5 candidate scores, immune to approx_max_k's
+    # adjacent-cell drop, identical semantics on every backend.
+    top_scores, top_idx = select_topk(ranked, k, approx_top_k)
     top_boxes = boxes[top_idx]
     top_cls = cls_id[top_idx]
     valid = top_scores > jnp.maximum(conf_thres, 0.0)
@@ -227,8 +227,9 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
     Equivalent results to ``decode_all`` + ``non_max_suppression`` but never
     materialises the full (B, N, 6+nc) decoded tensor: scores come from the
     raw maps (sigmoid obj*cls), top-k selects ``max_det`` candidates, and
-    box decode runs on those K rows only. Default approx top-k (TPU-native;
-    exact for the parity path via approx_top_k=False). ``field_major``
+    box decode runs on those K rows only. Default strided-bin top-k
+    (``ops.topk.strided_topk``, TPU product default; exact for the parity
+    path via approx_top_k=False). ``field_major``
     declares the head maps use the permuted field-major channel layout
     (``models.yolo_head.field_major_perm``) — same results, lane-contiguous
     score reads.
@@ -246,10 +247,7 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
          for r, s in zip(head_raws, yolo_specs)], axis=1)
     ranked = jnp.where(scores >= conf_thres, scores, 0.0)
     k = min(max_det, scores.shape[1])
-    if approx_top_k:
-        top_scores, top_idx = jax.lax.approx_max_k(ranked, k)
-    else:
-        top_scores, top_idx = jax.lax.top_k(ranked, k)
+    top_scores, top_idx = select_topk(ranked, k, approx_top_k)
     valid = top_scores > jnp.maximum(conf_thres, 0.0)
 
     nc = yolo_specs[0].num_classes

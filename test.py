@@ -66,12 +66,12 @@ def make_parser():
     p.add_argument("--devices", type=int, default=0,
                    help="shard eval batches over N devices (0 = single)")
     p.add_argument("--approx-topk", action="store_true",
-                   help="approximate pre-NMS top-k (lax.approx_max_k) for "
+                   help="strided-bin pre-NMS top-k (ops/topk.py) for "
                         "throughput. Eval defaults to EXACT top-k on every "
-                        "backend: this is the parity-measurement tool, and "
-                        "approx_max_k can drop one of two adjacent "
-                        "high-scoring objects that land in one reduction "
-                        "bin — noise a +-0.5 mAP comparison cannot afford")
+                        "backend: this is the parity-measurement tool, so "
+                        "candidate ranking must match a reference that "
+                        "sorts exactly (the strided reduction itself is "
+                        "adjacent-object-safe, tests/test_topk.py)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--cache-images", choices=["", "ram", "disk"], default="",
                    help="cache decoded images (useful for repeated evals)")

@@ -120,9 +120,10 @@ def test_evaluate_dataset_dense_gt_truncation_warns(tmp_path, capsys):
 
 def test_eval_cli_defaults_are_accuracy_bearing():
     """test.py / dota.py detect must default to EXACT top-k and dense
-    capacity: approx_max_k's contiguous reduction bins can drop one of two
-    adjacent high-scoring objects pre-NMS (the dense regime eval measures),
-    and max_det=128 silently caps mAP on >128-object scenes."""
+    capacity: eval is the parity-measurement tool, so candidate ranking
+    must match a reference that sorts exactly (the r4 strided_topk is
+    adjacent-object-safe, but still reduced — tests/test_topk.py), and
+    max_det=128 silently caps mAP on >128-object scenes."""
     import sys
     sys.path.insert(0, "/root/repo")
     import test as test_cli

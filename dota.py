@@ -192,8 +192,8 @@ def make_parser():
     pd.add_argument("--approx-topk", action="store_true",
                     help="strided-bin pre-NMS top-k (ops/topk.py) for "
                         "throughput — unlike the retired lax.approx_max_k "
-                        "it is safe in DOTA's dense adjacent-object "
-                        "regime (tests/test_topk.py); the accuracy-"
+                        "it GUARANTEES adjacent-object survival in DOTA's "
+                        "dense regime (tests/test_topk.py); the accuracy-"
                         "bearing default stays exact ranking")
     pd.add_argument("--bf16", action="store_true")
     pd.add_argument("--device", type=str, default="")

@@ -64,9 +64,10 @@ class Detector:
         for the pre-NMS candidate selection. Exact top-k over the ~1e5
         per-image scores costs 5% of total inference time on TPU
         (docs/PERF.md); the strided reduction is near-free and — unlike
-        the ``lax.approx_max_k`` it replaced in r4 — cannot drop one of
-        two adjacent-grid-cell objects (contiguous-bin collision,
-        tests/test_topk.py) and behaves identically on every backend.
+        the ``lax.approx_max_k`` it replaced in r4 — GUARANTEES two
+        adjacent-grid-cell objects both survive selection
+        (tests/test_topk.py; approx_max_k leaves that to an unspecified
+        window reduction) and behaves identically on every backend.
         None (default): strided on TPU, exact elsewhere (CPU parity paths
         stay bit-reproducible against references that sort exactly).
       iou_algo: per-pair formulation of the NMS kill-mask kernel —

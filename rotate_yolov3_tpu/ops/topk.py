@@ -1,18 +1,22 @@
 """Deterministic binned top-k for detection score selection.
 
 Replaces ``jax.lax.approx_max_k`` on the score-first inference path
-(``ops.rotated_nms``). ``approx_max_k``'s TPU lowering reduces CONTIGUOUS
-index windows to one survivor each before the final exact top-k; with the
-cell-major / anchor-minor candidate ordering of the head scores
+(``ops.rotated_nms``). ``approx_max_k`` documents no guarantee about WHICH
+near-duplicates survive its reduction: its TPU lowering reduces contiguous
+index windows before the final exact top-k, and with the cell-major /
+anchor-minor candidate ordering of the head scores
 (``models.yolo_head.head_scores``) two objects in adjacent grid cells are
-only ``na`` (~18) flat indices apart and routinely share one window, so one
-of them is silently dropped BEFORE NMS ever sees it (VERDICT r3 weak #3;
-demonstrated on the real chip — see docs/PERF.md "top-k selection" and
-``tools/tpu_kernel_smoke.py``). Worse, the semantics are backend-dependent:
-on CPU ``approx_max_k`` falls back to exact ``top_k``, so this repo's CPU
-test suite could never catch the TPU behavior.
+only ``na`` (~18) flat indices apart — in principle inside one window
+(VERDICT r3 weak #3). The on-chip measurement (``tools/tpu_kernel_smoke``,
+r4) found it does NOT drop adjacent peaks at the product shapes
+(n=131k, k=128/512, every spacing down to 1 — 0 drops / 86+ trials), so
+the concern never manifested here — but that safety is an unspecified
+implementation detail that can change with shape, recall_target, or XLA
+version, and the semantics are backend-dependent (on CPU ``approx_max_k``
+falls back to exact ``top_k``), so this repo's CPU test suite could never
+pin the TPU behavior either way.
 
-``strided_topk`` fixes the semantics instead of tuning around them:
+``strided_topk`` makes the guarantee SPECIFIED instead of incidental:
 
 * **Strided bins.** Flat index ``i`` goes to bin ``i % num_bins``, so the
   reduction windows take every ``num_bins``-th element instead of a

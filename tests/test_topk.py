@@ -2,10 +2,12 @@
 
 VERDICT r3 weak #3 asked for adjacent-bucket evidence on the approximate
 top-k path. The resolution in r4 is structural: ``lax.approx_max_k``
-(contiguous reduction bins, backend-dependent semantics — it falls back to
-exact on CPU, so its TPU failure mode was untestable here) was replaced by
-``strided_topk``, whose semantics are identical on every backend. These
-tests pin exactly the scenarios that broke approx_max_k:
+(contiguous reduction bins with no documented survivor guarantee,
+backend-dependent semantics — it falls back to exact on CPU, so any TPU
+failure mode was untestable here; the r4 on-chip measurement found it did
+NOT drop adjacent peaks at product shapes, see ops/topk.py docstring) was
+replaced by ``strided_topk``, whose semantics are identical on every
+backend. These tests pin the scenarios approx_max_k could never guarantee:
 
 * two objects in ADJACENT grid cells (flat indices ``na`` apart — inside
   one contiguous approx_max_k window) — both must survive selection;
@@ -15,8 +17,9 @@ tests pin exactly the scenarios that broke approx_max_k:
   lose the weakest (no detection geometry produces this; pinned so a
   future change that widens or narrows the guarantee is noticed).
 
-The real-chip measurement of approx_max_k's drop (and the strided/exact
-timing) lives in tools/tpu_kernel_smoke.py + docs/PERF.md.
+The real-chip drop measurement (0 observed for approx_max_k at product
+shapes — the hazard is unspecified semantics, not an observed bug) and the
+strided/exact timing live in tools/tpu_kernel_smoke.py + docs/PERF.md.
 """
 
 import jax

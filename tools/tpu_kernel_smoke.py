@@ -161,11 +161,13 @@ def main() -> int:
     check("decode_rows", err < 1e-3, f"maxerr {err:.2e}")
 
     # strided_topk compiled on TPU vs its own (backend-identical) CPU
-    # semantics, plus the approx_max_k adjacent-cell drop EVIDENCE
+    # semantics, plus the approx_max_k adjacent-cell drop MEASUREMENT
     # (VERDICT r3 weak #3): two peaks na=18 flat indices apart — adjacent
-    # grid cells — swept across alignments. approx_max_k's contiguous
-    # reduction windows drop the weaker peak whenever both share a window;
-    # strided_topk must never drop either.
+    # grid cells — swept across alignments. Measured result (r4, v5e):
+    # approx_max_k drops NOTHING at these shapes (0/86; also 0 at every
+    # spacing 1..512 in the gap sweep) — its window reduction happens to
+    # spare them here, but that is unspecified behavior; strided_topk must
+    # never drop either BY CONSTRUCTION, which is the gate below.
     from rotate_yolov3_tpu.ops.topk import strided_topk
 
     n_sc, k_sc, na_sc = 131_072, 128, 18
@@ -186,8 +188,9 @@ def main() -> int:
         drops_strided += (st not in got_s) + (st + na_sc not in got_s)
     check("topk_strided_adjacent", drops_strided == 0,
           f"0/{2*len(starts)} dropped")
-    # evidence line, not a gate: records the failure mode that motivated
-    # retiring approx_max_k from the product path
+    # evidence line, not a gate: records the measured approx_max_k drop
+    # count (0 at product shapes) that calibrates why it was retired —
+    # unspecified semantics, not an observed accuracy bug
     print(f"INFO approx_max_k adjacent-cell drops: {drops_approx}/"
           f"{2*len(starts)} peaks lost (strided: {drops_strided})",
           flush=True)

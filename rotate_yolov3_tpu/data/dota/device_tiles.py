@@ -35,6 +35,15 @@ compiles once (ragged shapes into jit cost a full remote recompile per
 shape on this backend — CLAUDE.md rule 6). Devkit ``scale`` handling: this
 path runs scale=1 (the reference's default split); rescaled pyramids can
 reuse it per scale.
+
+**Tile parallelism** (SURVEY §5: the reference's "scaling" for huge scenes
+is spatial tiling — the mesh analog is tiles spread across chips): when the
+``Detector`` was built with ``devices=N``, the (T, sub, sub, 3) tile stack
+is padded to a multiple of N and annotated with a ``data``-axis sharding
+constraint, so GSPMD runs the detection stage data-parallel over the mesh
+and inserts the one all-gather the global cross-tile merge needs. Same
+program, same results (equivalence pinned on the virtual CPU mesh in
+tests/test_device_tiles.py).
 """
 
 from __future__ import annotations
@@ -52,6 +61,8 @@ class DeviceTilePipeline:
     Args:
       detector: a ``Detector`` (its ``infer_fn``/``fused_params`` are the
         per-tile detection stage; ``max_det`` is the per-tile capacity).
+        If it was built with ``devices=N``, the tile batch is sharded over
+        its mesh — tile parallelism, see the module docstring.
       subsize / gap: devkit tile grid parameters (1024/200 defaults).
       merge_nms_thres: cross-tile NMS threshold (devkit merge uses 0.3).
       max_merged: merged-detection capacity per source image.
@@ -91,18 +102,34 @@ class DeviceTilePipeline:
         nc = det.spec.yolo_specs[0].num_classes
         m = min(self.max_merged, t * det.max_det)
         thr = self.merge_nms_thres
+        # tile parallelism: pad T up to the mesh size so the detection
+        # stage shards evenly; padded tiles are zero images whose
+        # detections are masked out before the merge
+        mesh = getattr(det, "mesh", None)
+        n_dev = det.devices if mesh is not None else 1
+        t_pad = -(-t // n_dev) * n_dev
 
         def run(fused_params, img):            # img: (HP, WP, 3) uint8
             tiles = jnp.stack([
                 jax.lax.dynamic_slice(img, (y0, x0, 0), (sub, sub, 3))
                 for (x0, y0) in origins])      # (T, sub, sub, 3), static
+            if t_pad > t:
+                tiles = jnp.pad(tiles, ((0, t_pad - t),) + ((0, 0),) * 3)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                tiles = jax.lax.with_sharding_constraint(
+                    tiles, NamedSharding(mesh, P("data")))
             lb, ratio, pad = letterbox_jax(tiles.astype(jnp.float32),
                                            det.img_size)
-            dets, mask = det.infer_fn(fused_params, lb)   # (T, K, 7)
+            dets, mask = det.infer_fn(fused_params, lb)   # (T', K, 7)
+            mask = mask & (jnp.arange(t_pad) < t)[:, None]
             # letterboxed -> tile coords (static ratio/pad), then + origin
             dets = scale_coords_rotated(dets, ratio, pad)
-            ox = jnp.asarray([o[0] for o in origins], jnp.float32)
-            oy = jnp.asarray([o[1] for o in origins], jnp.float32)
+            ox = jnp.zeros(t_pad, jnp.float32).at[:t].set(
+                jnp.asarray([o[0] for o in origins], jnp.float32))
+            oy = jnp.zeros(t_pad, jnp.float32).at[:t].set(
+                jnp.asarray([o[1] for o in origins], jnp.float32))
             cx = dets[..., 0] + ox[:, None]
             cy = dets[..., 1] + oy[:, None]
             dets = jnp.concatenate(
@@ -110,7 +137,7 @@ class DeviceTilePipeline:
 
             # cross-tile merge: global top-k by score, then class-aware NMS
             scores = jnp.where(mask, dets[..., 5], 0.0).reshape(-1)
-            flat = dets.reshape(t * det.max_det, 7)
+            flat = dets.reshape(t_pad * det.max_det, 7)
             top_s, top_i = jax.lax.top_k(scores, m)
             rows = flat[top_i]
             valid = top_s > 0.0
@@ -147,10 +174,18 @@ class DeviceTilePipeline:
             padded = np.zeros((hp, wp, 3), img.dtype)
             padded[:h, :w] = img
             img = padded
+        import jax
         import jax.numpy as jnp
 
-        dets, mask = self._compiled[(hp, wp)](self.det.fused_params,
-                                              jnp.asarray(img))
+        img = jnp.asarray(img)
+        if getattr(self.det, "mesh", None) is not None:
+            # replicate the source image once so the sharded tile stack is
+            # sliced device-locally instead of broadcast at trace time
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            img = jax.device_put(
+                img, NamedSharding(self.det.mesh, P()))
+        dets, mask = self._compiled[(hp, wp)](self.det.fused_params, img)
         return np.asarray(dets), np.asarray(mask)
 
     def num_tiles(self, h: int, w: int) -> int:

@@ -108,6 +108,30 @@ def test_device_pipeline_capacity_cap(detector):
         assert np.any(np.all(np.abs(kept_big - row) < 1e-3, axis=1))
 
 
+def test_tile_parallel_matches_single_device(detector):
+    """Detector(devices=8) shards the tile stack over the virtual mesh;
+    merged detections must equal the single-device pipeline bit-for-bit.
+    700x900 @ sub=384/gap=128 gives 12 tiles — NOT a multiple of 8, so the
+    zero-tile padding + mask-out path is exercised too."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device mesh")
+    img = _scene(700, 900, seed=7)
+    single = DeviceTilePipeline(detector, subsize=SUB, gap=GAP,
+                                merge_nms_thres=0.3, max_merged=256)
+    det8 = Detector(TINY, img_size=128, conf_thres=0.2, nms_thres=0.4,
+                    max_det=32, devices=8)
+    det8.refresh_params(detector.params, detector.state)
+    sharded = DeviceTilePipeline(det8, subsize=SUB, gap=GAP,
+                                 merge_nms_thres=0.3, max_merged=256)
+    assert single.num_tiles(700, 900) == 12
+    d1, m1 = single(img)
+    d8, m8 = sharded(img)
+    np.testing.assert_array_equal(m1, m8)
+    np.testing.assert_allclose(d1, d8, rtol=1e-5, atol=1e-5)
+
+
 def test_coordinates_are_source_frame(detector):
     """Merged detections come back in SOURCE-image pixels: inside the
     padded source frame and score-descending (random-weight nets don't

@@ -14,6 +14,9 @@ as a result, not an error (v5e has ~16 GB HBM; bwd at bs=64/608^2 may not
 fit without remat).
 
 Usage: python _scratch/batch_scaling.py [bs ...]   (default: 8 16 32 64)
+       python _scratch/batch_scaling.py pieces <bs>   (stage ladder at bs:
+           inference-mode fwd / train-mode fwd / fwd+bwd / full step —
+           localizes which stage anti-scales with batch)
 """
 from __future__ import annotations
 
@@ -91,7 +94,78 @@ def measure(b):
         print(f"bs={b:3d}  FAILED: {msg}", flush=True)
 
 
+def pieces(b):
+    """Cumulative stage ladder at batch ``b`` (same scan protocol)."""
+    import jax.numpy as jnp
+
+    from rotate_yolov3_tpu.models.darknet import apply_fused, apply_network, fuse_bn
+    from rotate_yolov3_tpu.train.loss import compute_loss
+
+    spec = build_network(parse_model_cfg(CFG), img_size=S)
+    params, state = init_params(spec, jax.random.PRNGKey(0))
+    hyp = Hyp()
+    fused = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                         fuse_bn(spec, params, state))
+
+    def run(name, fn, carry):
+        def loop(c, imgs, tgts, valid):
+            def body(c, xs):
+                return fn(c, *xs)
+            c, outs = jax.lax.scan(body, c, (imgs, tgts, valid))
+            return c, jnp.sum(outs)
+
+        jfn = jax.jit(loop)
+        import time as _t
+        c, s = jfn(carry, *fresh_inputs(0, b))
+        jax.block_until_ready(s)
+        best = 1e9
+        for trial in range(TRIALS):
+            stacks = fresh_inputs(trial + 1, b)
+            t0 = _t.perf_counter()
+            c, s = jfn(carry, *stacks)
+            float(s)
+            best = min(best, _t.perf_counter() - t0)
+        ms = best / K * 1e3
+        print(f"{name:12s} bs={b:3d}  {ms:8.2f} ms/step  "
+              f"{b / (best / K):7.1f} img/s", flush=True)
+
+    def infer_fwd(c, imgs, tgts, valid):
+        x = imgs.astype(jnp.bfloat16) * (1.0 / 255.0)
+        heads = apply_fused(spec, fused, x)
+        return c, sum(jnp.sum(h.astype(jnp.float32)) for h in heads)
+    run("infer_fwd", infer_fwd, jnp.float32(0))
+
+    def train_fwd(c, imgs, tgts, valid):
+        x = imgs.astype(jnp.bfloat16) * (1.0 / 255.0)
+        heads, _ = apply_network(spec, params, state, x, train=True)
+        return c, sum(jnp.sum(h.astype(jnp.float32)) for h in heads)
+    run("train_fwd", train_fwd, jnp.float32(0))
+
+    def loss_fwd(c, imgs, tgts, valid):
+        x = imgs.astype(jnp.bfloat16) * (1.0 / 255.0)
+        heads, _ = apply_network(spec, params, state, x, train=True)
+        heads = [h.astype(jnp.float32) for h in heads]
+        total, _ = compute_loss(heads, tgts, valid, spec.yolo_specs, S, hyp)
+        return c, total
+    run("loss_fwd", loss_fwd, jnp.float32(0))
+
+    def loss_grad(c, imgs, tgts, valid):
+        def lfn(p):
+            x = imgs.astype(jnp.bfloat16) * (1.0 / 255.0)
+            heads, _ = apply_network(spec, p, state, x, train=True)
+            heads = [h.astype(jnp.float32) for h in heads]
+            total, _ = compute_loss(heads, tgts, valid, spec.yolo_specs,
+                                    S, hyp)
+            return total
+        v, g = jax.value_and_grad(lfn)(params)
+        return c, v + 0.0 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
+    run("loss_grad", loss_grad, jnp.float32(0))
+
+
 if __name__ == "__main__":
+    if sys.argv[1:2] == ["pieces"]:
+        pieces(int(sys.argv[2]) if len(sys.argv) > 2 else 64)
+        sys.exit(0)
     sizes = [int(a) for a in sys.argv[1:]] or [8, 16, 32, 64]
     for b in sizes:
         measure(b)

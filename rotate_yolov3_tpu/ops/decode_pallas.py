@@ -139,14 +139,20 @@ def _decode_kernel(cells_ref, cell_ref, a_ref, valid_ref, out_ref, *,
     bx, by, bw, bh, bt = (v * vc for v in (bx, by, bw, bh, bt))
 
     if nc > 1:
-        # argmax over class logits == argmax over sigmoids (monotonic)
-        maxv = fld(6)
-        maxi = zero
-        for cc in range(1, nc):
+        # argmax over class logits == argmax over sigmoids (monotonic).
+        # MUST be a fori_loop, not a python unroll: Mosaic does not reuse
+        # scoped-VMEM stack across unrolled iterations, and nc-1 live
+        # (K, C) f32 temporaries blew the 16 MB stack limit at DOTA's
+        # nc=15 (measured compile OOM, 17.9 MB — the loop form compiles
+        # to one iteration's stack)
+        def cls_body(cc, carry):
+            maxi, maxv = carry
             v = fld(6 + cc)
             upd = v > maxv
-            maxi = jnp.where(upd, float(cc), maxi)
-            maxv = jnp.where(upd, v, maxv)
+            return (jnp.where(upd, cc.astype(jnp.float32), maxi),
+                    jnp.where(upd, v, maxv))
+
+        maxi, _ = jax.lax.fori_loop(1, nc, cls_body, (zero, fld(6)))
     else:
         maxi = zero
 

@@ -160,6 +160,43 @@ def main() -> int:
     err = np.abs(aos[..., :5] - ref_rows).max()
     check("decode_rows", err < 1e-3, f"maxerr {err:.2e}")
 
+    # the same decode kernel at DOTA shapes (nc=15): the class-argmax path
+    # must compile within the 16 MB scoped-VMEM stack — a python-unrolled
+    # argmax chain OOM'd here (17.9 MB, r4) because Mosaic does not reuse
+    # stack across unrolled iterations; the fori_loop form is the fix.
+    # Checks boxes AND the argmax class id against the jnp reference.
+    spec_d = build_network(parse_model_cfg(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "cfg/yolov3-rotate-dota.cfg")),
+        img_size=608)
+    ys_d = spec_d.yolo_specs
+    na_d, no_d, nc_d = ys_d[0].na, ys_d[0].no, ys_d[0].num_classes
+    heads_d, n_total_d = [], 0
+    for s in ys_d:
+        g_ = 608 // s.stride
+        heads_d.append(jnp.asarray(
+            rng.normal(0, 0.7, (2, g_, g_, s.na * s.no)), jnp.bfloat16))
+        n_total_d += g_ * g_ * s.na
+    didx_d = jnp.asarray(
+        rng.integers(0, n_total_d, (2, 512)).astype(np.int32))
+    dvalid_d = jnp.ones((2, 512), bool)
+    cells_d = jnp.concatenate(
+        [r.reshape(r.shape[0], -1, na_d * no_d) for r in heads_d], axis=1)
+    meta_d = heads_meta(ys_d, [r.shape for r in heads_d])
+    try:
+        aos_d = np.asarray(decode_rows_pallas(
+            cells_d, didx_d, dvalid_d, meta_d, na=na_d, nc=nc_d,
+            field_major=True))
+        ref_d = np.asarray(decode_gathered(heads_d, ys_d, didx_d,
+                                           field_major=True))
+        err_b = np.abs(aos_d[..., :5] - ref_d[..., :5]).max()
+        cls_ref = ref_d[..., 6:].argmax(-1)
+        cls_diffs = int((aos_d[..., 5] != cls_ref).sum())
+        check("decode_rows_nc15", err_b < 1e-3 and cls_diffs == 0,
+              f"maxerr {err_b:.2e}, {cls_diffs} cls diffs")
+    except Exception as e:  # compile OOM shows up here
+        check("decode_rows_nc15", False, str(e).splitlines()[0][:120])
+
     # strided_topk compiled on TPU vs its own (backend-identical) CPU
     # semantics, plus the approx_max_k adjacent-cell drop MEASUREMENT
     # (VERDICT r3 weak #3): two peaks na=18 flat indices apart — adjacent

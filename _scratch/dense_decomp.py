@@ -155,7 +155,8 @@ def main(which):
 
     for name, kw in (("full_r3", dict(fused_greedy=False)),
                      ("full", {}),
-                     ("full_g2", dict(iou_algo="green2"))):
+                     ("full_g2", dict(iou_algo="green2")),
+                     ("full_bf16", dict(mask_dtype="bfloat16"))):
         if name in which:
             def fu(imgs, kw=kw):
                 heads = heads_of(imgs)
@@ -170,5 +171,5 @@ def main(which):
 if __name__ == "__main__":
     which = sys.argv[1:] or ["bb", "scores", "topk", "topk_str", "topk_ex",
                              "gather", "decode", "full_r3", "full",
-                             "full_g2"]
+                             "full_g2", "full_bf16"]
     main(which)

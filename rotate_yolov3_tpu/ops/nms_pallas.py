@@ -57,6 +57,7 @@ _MAX_K = 1024
 def _nms_kernel(a_ref, b_ref, valid_ref, keep_ref, kill_s, keep_s, *,
                 k, block_n, block_m, iou_thr, use_cls, algo):
     """One (BN, BM) kill tile; greedy fixpoint on the image's last step."""
+    mask_dt = kill_s.dtype
     i = pl.program_id(1)
     j = pl.program_id(2)
     last = ((i == pl.num_programs(1) - 1) & (j == pl.num_programs(2) - 1))
@@ -68,7 +69,7 @@ def _nms_kernel(a_ref, b_ref, valid_ref, keep_ref, kill_s, keep_s, *,
     @pl.when(jnp.logical_not(needed))
     def _zero():
         kill_s[pl.ds(r0, block_n), pl.ds(c0, block_m)] = \
-            jnp.zeros((block_n, block_m), jnp.float32)
+            jnp.zeros((block_n, block_m), mask_dt)
 
     @pl.when(needed)
     def _compute():
@@ -102,7 +103,7 @@ def _nms_kernel(a_ref, b_ref, valid_ref, keep_ref, kill_s, keep_s, *,
         if use_cls:
             kill = kill & (ablk[:, 5][:, None] == bblk[5][None, :])
         kill_s[pl.ds(r0, block_n), pl.ds(c0, block_m)] = \
-            kill.astype(jnp.float32)
+            kill.astype(mask_dt)
 
     @pl.when(last)
     def _greedy():
@@ -116,7 +117,8 @@ def _nms_kernel(a_ref, b_ref, valid_ref, keep_ref, kill_s, keep_s, *,
         def body(carry):
             it, _ = carry
             keep = keep_s[...]
-            supp = jax.lax.dot_general(keep, kill_s[...],
+            # mask entries are 0/1 — exact in bf16 too; accumulate f32
+            supp = jax.lax.dot_general(keep.astype(mask_dt), kill_s[...],
                                        (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
             new = jnp.where(supp > 0.0, 0.0, valid)
@@ -129,13 +131,15 @@ def _nms_kernel(a_ref, b_ref, valid_ref, keep_ref, kill_s, keep_s, *,
 
 
 @functools.partial(jax.jit, static_argnames=("iou_thr", "block_n", "block_m",
-                                             "interpret", "algo"))
+                                             "interpret", "algo",
+                                             "mask_dtype"))
 def nms_greedy_pallas(boxes: jnp.ndarray, cls_id: Optional[jnp.ndarray],
                       valid: jnp.ndarray, iou_thr: float = 0.4,
                       block_n: Optional[int] = None,
                       block_m: Optional[int] = None,
                       interpret: bool = False,
-                      algo: str = "green") -> jnp.ndarray:
+                      algo: str = "green",
+                      mask_dtype: str = "float32") -> jnp.ndarray:
     """Batched fused greedy rotated NMS: (B, K, 5) boxes -> (B, K) keep.
 
     Rows must be score-DESCENDING per image (greedy suppression only flows
@@ -145,6 +149,11 @@ def nms_greedy_pallas(boxes: jnp.ndarray, cls_id: Optional[jnp.ndarray],
     ``skew_kill_matrix_pallas`` + ``greedy_suppress_fixpoint_kill``.
     Block defaults follow the r3 kill-kernel sweep: (128, 256) at
     256-multiple capacities, else (64, 128) (docs/PERF.md).
+
+    ``mask_dtype="bfloat16"`` stores the (K, K) kill scratch in bf16:
+    entries are exactly 0/1 (representable in bf16) and the fixpoint
+    matvec accumulates in f32, so keep decisions are bit-identical while
+    phase-1 stores and per-pass reads move half the VMEM bytes.
     """
     b, k, _ = boxes.shape
     kp = -(-k // 256) * 256 if k > 128 else 128
@@ -179,7 +188,7 @@ def nms_greedy_pallas(boxes: jnp.ndarray, cls_id: Optional[jnp.ndarray],
         out_specs=pl.BlockSpec((1, 8, kp), lambda ib, i, j: (ib, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 8, kp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((kp, kp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((kp, kp), jnp.dtype(mask_dtype)),
                         pltpu.VMEM((8, kp), jnp.float32)],
         interpret=interpret,
     )(a_aos, b_soa, valid8)

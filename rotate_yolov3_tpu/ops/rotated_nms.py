@@ -220,7 +220,8 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
                               approx_top_k: bool = True,
                               field_major: bool = False,
                               iou_algo: str = "green",
-                              fused_greedy: bool = True
+                              fused_greedy: bool = True,
+                              mask_dtype: str = "float32"
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Score-first NMS straight from raw head maps (production path).
 
@@ -238,7 +239,8 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
     fixpoint inside one Pallas program (``ops.nms_pallas``) — the (K, K)
     mask never leaves VMEM. ``fused_greedy=False`` keeps the r3 two-stage
     path (kill-mask kernel + XLA fixpoint) as an identical-results
-    cross-check.
+    cross-check. ``mask_dtype="bfloat16"`` halves the fused kernel's kill
+    scratch bytes with bit-identical keep decisions (ops.nms_pallas).
     """
     from ..models.yolo_head import decode_gathered, head_scores
 
@@ -290,7 +292,8 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
 
         if nms_greedy_fused_ok(boxes.shape[1]):
             keep = nms_greedy_pallas(boxes, cls_id if nc > 1 else None,
-                                     valid, iou_thr=nms_thres, algo=iou_algo)
+                                     valid, iou_thr=nms_thres, algo=iou_algo,
+                                     mask_dtype=mask_dtype)
             out = jnp.concatenate(
                 [boxes, top_scores[..., None],
                  cls_id[..., None].astype(boxes.dtype)], axis=-1)

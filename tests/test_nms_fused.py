@@ -111,6 +111,28 @@ def test_fused_batched_consistency():
         np.testing.assert_array_equal(batched[i], single)
 
 
+def test_fused_bf16_mask_identical():
+    """bf16 kill-scratch variant makes bit-identical keep decisions: mask
+    entries are exactly 0/1 (representable in bf16) and the fixpoint matvec
+    accumulates f32, so only VMEM bytes change, never results."""
+    rng = np.random.default_rng(19)
+    for n, thr in ((64, 0.4), (256, 0.3)):
+        boxes, _ = _random_sorted_boxes(rng, n, spread=80.0)
+        cls_id = rng.integers(0, 4, n).astype(np.int32)
+        valid = rng.uniform(0, 1, n) > 0.05
+        boxes = np.where(valid[:, None], boxes, 0.0).astype(np.float32)
+        f32 = np.asarray(nms_greedy_pallas(
+            jnp.asarray(boxes)[None], jnp.asarray(cls_id)[None],
+            jnp.asarray(valid)[None], iou_thr=thr, interpret=True))[0]
+        bf16 = np.asarray(nms_greedy_pallas(
+            jnp.asarray(boxes)[None], jnp.asarray(cls_id)[None],
+            jnp.asarray(valid)[None], iou_thr=thr, interpret=True,
+            mask_dtype="bfloat16"))[0]
+        np.testing.assert_array_equal(f32, bf16)
+        np.testing.assert_array_equal(
+            f32, _oracle_keep(boxes, valid, thr, cls_id=cls_id))
+
+
 def test_fused_all_invalid_and_empty_overlap():
     boxes = np.zeros((1, 8, 5), np.float32)
     valid = np.zeros((1, 8), bool)

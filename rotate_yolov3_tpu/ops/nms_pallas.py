@@ -49,8 +49,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .skew_iou_green import inter_area_green, inter_area_green_bframe
 
-# Kill-matrix scratch is (K, K) f32; cap K so scratch + one tile's green
-# temporaries stay well inside v5e's ~16 MB VMEM (K=1024 -> 4 MB scratch).
+# Kill-matrix scratch is (K, K) in mask_dtype (f32 default, bf16 optional);
+# cap K so the f32 WORST CASE plus one tile's green temporaries stays well
+# inside v5e's ~16 MB VMEM (K=1024 -> 4 MB f32 scratch).
 _MAX_K = 1024
 
 
@@ -196,5 +197,6 @@ def nms_greedy_pallas(boxes: jnp.ndarray, cls_id: Optional[jnp.ndarray],
 
 
 def nms_greedy_fused_ok(k: int) -> bool:
-    """Shape gate for the fused path (scratch is (K, K) f32 in VMEM)."""
+    """Shape gate for the fused path: the (K, K) mask_dtype VMEM scratch
+    (sized here for the f32 worst case) must fit alongside tile temps."""
     return k <= _MAX_K

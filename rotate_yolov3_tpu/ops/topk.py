@@ -22,8 +22,12 @@ pin the TPU behavior either way.
   reduction windows take every ``num_bins``-th element instead of a
   contiguous run. Spatially-near candidates (adjacent cells, adjacent
   anchors) land in DIFFERENT bins by construction; a collision needs two
-  candidates whose flat indices are congruent mod ``num_bins`` — with the
-  default 2048 bins that is ~114 cells apart at identical anchor phase.
+  candidates whose flat indices are congruent mod ``num_bins``. The
+  default ``num_bins`` scales with k (max(512, 4k), lane-rounded): at the
+  dense capacity k=512 that is 2048 bins ≈ 114 cells apart at identical
+  anchor phase; at the product default k=128 it is 512 bins ≈ 28 cells —
+  still far beyond adjacent-cell spacing, and the per-bin top-2 below
+  covers even an exact collision.
 * **Per-bin top-2.** Even an exactly-congruent pair both survive the
   reduction; losing a candidate requires THREE above-final-rank candidates
   at mutually congruent flat positions, which no detection geometry

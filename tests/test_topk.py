@@ -92,8 +92,8 @@ def test_adjacent_cell_peaks_survive():
 def test_congruent_pair_survives_via_top2():
     """Indices exactly num_bins apart fall in the SAME strided bin; the
     per-bin top-2 must keep both."""
-    nb = 2048                                             # default for k<=512
     n, k = 131_072, 128
+    nb = -(-max(512, 4 * k) // 128) * 128                 # strided_topk default
     s = np.linspace(0.0, 0.1, n).astype(np.float32)
     s[3 * nb + 7] = 0.9
     s[4 * nb + 7] = 0.8                                   # same bin (col 7)
@@ -107,10 +107,10 @@ def test_congruent_pair_survives_via_top2():
 def test_triple_congruent_drops_weakest_documented_limit():
     """Three candidates in one strided bin: the weakest is reduced away.
     This pins the KNOWN residual limitation (three objects at exactly
-    congruent flat positions — ~114-cell spacing at identical anchor
-    phase, never produced by real geometry)."""
-    nb = 2048
+    congruent flat positions — ~28-cell spacing at the k=128 default's
+    512 bins, ~114 at k=512's 2048; never produced by real geometry)."""
     n, k = 131_072, 128
+    nb = -(-max(512, 4 * k) // 128) * 128                 # strided_topk default
     s = np.linspace(0.0, 0.1, n).astype(np.float32)
     hits = [2 * nb + 5, 5 * nb + 5, 9 * nb + 5]
     for h, val in zip(hits, (0.9, 0.8, 0.7)):

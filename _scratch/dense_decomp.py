@@ -153,10 +153,12 @@ def main(which):
             return jnp.sum(ts) + jnp.sum(rows)
         run("decode", de)
 
-    for name, kw in (("full_r3", dict(fused_greedy=False)),
-                     ("full", {}),
-                     ("full_g2", dict(iou_algo="green2")),
-                     ("full_bf16", dict(mask_dtype="bfloat16"))):
+    for name, kw in (
+            ("full_r3", dict(fused_greedy=False, decode_kernel=False)),
+            ("full_r3_dk", dict(fused_greedy=False, decode_kernel=True)),
+            ("full", dict(fused_greedy=True)),
+            ("full_g2", dict(fused_greedy=True, iou_algo="green2")),
+            ("full_bf16", dict(fused_greedy=True, mask_dtype="bfloat16"))):
         if name in which:
             def fu(imgs, kw=kw):
                 heads = heads_of(imgs)

@@ -32,9 +32,22 @@ converges in 3-7 passes of ~0.5 MFLOP each.
 Equivalence: identical keep decisions to the unfused pair (kill kernel +
 XLA fixpoint) by construction — same predicate, same iteration — pinned in
 tests/test_nms_fused.py (interpret mode on CPU) and by the compiled-mode
-TPU smoke (tools/tpu_kernel_smoke.py). The unfused path stays available
-for cross-checking via ``non_max_suppression_fused(..., fused_greedy=
-False)``.
+TPU smoke (tools/tpu_kernel_smoke.py).
+
+**r5 measurement note:** the on-chip A/B at the dense capacity (K=512,
+B=128 product path) measured this fused kernel ~11 µs/img SLOWER than the
+two-stage pair it replaces (1015.8 vs 1027.0 img/s; green2 1021.3, bf16
+mask 1016.9 — docs/PERF.md r5). The kill tiles are identical work in
+both, so the deficit sits in the greedy phase; the plausible mechanism
+(unprofiled — the remote backend exposes no per-kernel trace) is that the
+in-kernel matvec fixpoint serializes on the core behind the grid, while
+the XLA fixpoint's passes can overlap other per-image work and use the
+full MXU tiling. The product default is
+therefore the two-stage path (``non_max_suppression_fused(...,
+fused_greedy=False)``); this kernel remains as an option and cross-check
+(and the merge stage of ``data.dota.device_tiles`` still uses it, where
+K=1024 exceeds the two-stage kill kernel's measured-good range and the
+call is once per scene).
 """
 
 from __future__ import annotations

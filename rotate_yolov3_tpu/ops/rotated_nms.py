@@ -220,7 +220,8 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
                               approx_top_k: bool = True,
                               field_major: bool = False,
                               iou_algo: str = "green",
-                              fused_greedy: bool = True,
+                              fused_greedy: bool = False,
+                              decode_kernel: Optional[bool] = None,
                               mask_dtype: str = "float32"
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Score-first NMS straight from raw head maps (production path).
@@ -235,12 +236,18 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
     (``models.yolo_head.field_major_perm``) — same results, lane-contiguous
     score reads.
 
-    ``fused_greedy`` (TPU default): run the kill matrix AND the greedy
-    fixpoint inside one Pallas program (``ops.nms_pallas``) — the (K, K)
-    mask never leaves VMEM. ``fused_greedy=False`` keeps the r3 two-stage
-    path (kill-mask kernel + XLA fixpoint) as an identical-results
-    cross-check. ``mask_dtype="bfloat16"`` halves the fused kernel's kill
-    scratch bytes with bit-identical keep decisions (ops.nms_pallas).
+    ``fused_greedy``: run the kill matrix AND the greedy fixpoint inside
+    one Pallas program (``ops.nms_pallas``) — the (K, K) mask never leaves
+    VMEM. Identical keep decisions to the two-stage path (kill-mask kernel
+    + XLA fixpoint); the r5 on-chip A/B at K=512 measured the fused kernel
+    ~11 µs/img SLOWER than two-stage (1016 vs 1027 img/s, f32 mask; green2
+    1021, bf16 mask 1017 — docs/PERF.md r5), so two-stage is the default
+    and the fused kernel stays as an option/cross-check.
+    ``decode_kernel`` (None = on for TPU when shapes allow): use the
+    one-hot-MXU gather+decode Pallas kernel (``ops.decode_pallas``)
+    instead of ``decode_gathered`` — measured independently of
+    ``fused_greedy`` since r5. ``mask_dtype="bfloat16"`` halves the fused
+    kernel's kill scratch bytes with bit-identical keep decisions.
     """
     from ..models.yolo_head import decode_gathered, head_scores
 
@@ -254,8 +261,10 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
 
     nc = yolo_specs[0].num_classes
     nas = {s.na for s in yolo_specs}
+    if decode_kernel is None:
+        decode_kernel = jax.default_backend() == "tpu"
     decoded = None
-    if (fused_greedy and iou_matrix_fn is None and len(nas) == 1
+    if (decode_kernel and iou_matrix_fn is None and len(nas) == 1
             and jax.default_backend() == "tpu"):
         # single-kernel gather+decode (one-hot MXU matmul + in-kernel
         # decode, ops.decode_pallas) — same values as decode_gathered

@@ -15,8 +15,15 @@ Programs (cumulative unless noted):
   full_r3   full product path, UNfused greedy (r3 two-stage kill+fixpoint)
   full      full product path, fused single-kernel NMS (r4 default)
   full_g2   fused, iou_algo="green2"
+  product   EXACTLY bench.py's program shape: scan Detector.infer_fn with
+            fused params CLOSED OVER (XLA constants). NOTE: bench.py and
+            detector.py pass params as a jit ARGUMENT — see product_arg.
+  product_arg  scan Detector.infer_fn with fused params passed as a jit
+            argument (bench.py/detector.py's exact calling convention).
+            product vs product_arg isolates the closure-vs-argument cost.
 
 Usage: python _scratch/dense_decomp.py [program ...]   (default: all)
+Env:   MAXDET=128|512 overrides the capacity (default 512).
 """
 from __future__ import annotations
 
@@ -38,7 +45,8 @@ from rotate_yolov3_tpu.detector import Detector
 from rotate_yolov3_tpu.models.yolo_head import decode_gathered, head_scores
 from rotate_yolov3_tpu.ops.rotated_nms import non_max_suppression_fused
 
-B, S, K, MAXDET, TRIALS = 128, 608, 16, 512, 2
+B, S, K, TRIALS = 128, 608, 16, 2
+MAXDET = int(os.environ.get("MAXDET", "512"))
 CFG = "/root/repo/cfg/yolov3-rotate-hrsc.cfg"
 CONF = 0.05
 
@@ -62,20 +70,30 @@ def main(which):
     def heads_of(imgs):
         return apply_fused(spec, fused, imgs.astype(jnp.bfloat16))
 
-    def run(name, per_batch):
-        @jax.jit
-        def loop(stack):
-            def body(c, imgs):
-                return c + per_batch(imgs), None
-            c, _ = jax.lax.scan(body, jnp.float32(0), stack)
-            return c
+    def run(name, per_batch, with_params_arg=False):
+        if with_params_arg:
+            @jax.jit
+            def loop(fp, stack):
+                def body(c, imgs):
+                    return c + per_batch(fp, imgs), None
+                c, _ = jax.lax.scan(body, jnp.float32(0), stack)
+                return c
+            call = lambda stack: loop(fused, stack)
+        else:
+            @jax.jit
+            def loop(stack):
+                def body(c, imgs):
+                    return c + per_batch(imgs), None
+                c, _ = jax.lax.scan(body, jnp.float32(0), stack)
+                return c
+            call = loop
 
-        float(loop(fresh_stack(0)))
+        float(call(fresh_stack(0)))
         best = 1e9
         for trial in range(TRIALS):
             stack = fresh_stack(trial + 1)
             t0 = time.perf_counter()
-            v = float(loop(stack))
+            v = float(call(stack))
             best = min(best, time.perf_counter() - t0)
         ms_img = best / (K * B) * 1e3
         print(f"{name:10s} {ms_img*1e3:8.1f} us/img  "
@@ -169,9 +187,26 @@ def main(which):
                 return jnp.sum(dets) + jnp.sum(mask)
             run(name, fu)
 
+    if "product" in which:
+        # Detector.infer_fn at the product defaults, fused params CLOSED
+        # OVER (XLA constants — the ladder variants' convention).
+        def pr(imgs):
+            dets, mask = det.infer_fn(fused, imgs)
+            return jnp.sum(dets) + jnp.sum(mask)
+        run("product", pr)
+
+    if "product_arg" in which:
+        # Same program, params passed as a jit ARGUMENT — bench.py's and
+        # detector.py's actual calling convention.
+        def pra(fp, imgs):
+            dets, mask = det.infer_fn(fp, imgs)
+            return jnp.sum(dets) + jnp.sum(mask)
+        run("product_arg", pra, with_params_arg=True)
+
 
 if __name__ == "__main__":
     which = sys.argv[1:] or ["bb", "scores", "topk", "topk_str", "topk_ex",
                              "gather", "decode", "full_r3", "full",
-                             "full_g2", "full_bf16"]
+                             "full_g2", "full_bf16", "product",
+                             "product_arg"]
     main(which)

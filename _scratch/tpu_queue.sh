@@ -4,7 +4,7 @@
 # Usage: bash _scratch/tpu_queue.sh <cmd...>
 cd "$(dirname "$0")/.."
 while true; do
-    if timeout 90 python -c "
+    if timeout 300 python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((256, 256)); print('probe ok', float((x @ x).sum()))
 " >/dev/null 2>&1; then

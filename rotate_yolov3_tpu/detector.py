@@ -75,6 +75,14 @@ class Detector:
         in B's rotated frame, fewer VPU ops), or "candidates"
         (24-candidate rank-sort cross-check). All exact; measured numbers
         in docs/PERF.md.
+      bake_params: close the serving jit over the fused params (XLA
+        constants) instead of passing them as a call argument. Weights
+        are fixed after load in every serving CLI, and baking lets XLA
+        fold/pre-lay-out them at compile time — measured worth ~3% of
+        end-to-end throughput on v5e (docs/PERF.md r5 harness-convention
+        A/B). The cost is a recompile whenever the params change, so
+        train.py's per-epoch-eval Detector passes False and keeps the
+        params-as-argument graph that compiles once.
     """
 
     def __init__(self, cfg_path: str, weights: Optional[str] = None,
@@ -85,7 +93,9 @@ class Detector:
                  packed_stem: bool = False,
                  approx_top_k: Optional[bool] = None,
                  field_major_heads: bool = True,
-                 iou_algo: str = "green"):
+                 iou_algo: str = "green",
+                 bake_params: bool = True):
+        self.bake_params = bool(bake_params)
         self.spec: NetworkSpec = build_network(
             parse_model_cfg(cfg_path), img_size=img_size)
         self.img_size = self.spec.img_size
@@ -160,6 +170,7 @@ class Detector:
         # product inference math (VERDICT r1: bench path must == product path)
         self.infer_fn = infer_fn
         self._infer = jax.jit(infer_fn)
+        self._infer_baked = None
 
     def refresh_params(self, params=None, state=None) -> None:
         """Rebuild fused inference params through the FULL fusion pipeline:
@@ -226,6 +237,8 @@ class Detector:
             # replicate weights across the mesh once, up front
             fused = jax.device_put(fused, NamedSharding(self.mesh, P()))
         self.fused_params = fused
+        # params changed -> any weight-baked serving jit is stale
+        self._infer_baked = None
 
     def __call__(self, images) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Run detection on (B, H, W, 3) images (uint8 or float 0-255)."""
@@ -243,6 +256,11 @@ class Detector:
             # jitted program (backbone + NMS are per-image independent, so
             # this is collective-free data parallelism over ICI)
             images = jax.device_put(images, self._batch_sharding)
+        if self.bake_params:
+            if self._infer_baked is None:
+                self._infer_baked = jax.jit(
+                    functools.partial(self.infer_fn, self.fused_params))
+            return self._infer_baked(images)
         return self._infer(self.fused_params, images)
 
     def predict_raw(self, images) -> jnp.ndarray:

@@ -158,7 +158,10 @@ def test_evaluate_dataset_ragged_tail_single_compile(tmp_path):
     det = Detector(tiny, img_size=96, conf_thres=0.2, max_det=16)
     result = evaluate_dataset(det, list_path, batch_size=4, names=["obj"])
     # 5 images at bs=4 -> batches of 4 and 1(padded to 4); one compile only
-    assert det._infer._cache_size() == 1
+    # (the serving path is the weight-baked jit by default — check the one
+    # __call__ actually used)
+    used_jit = det._infer_baked if det.bake_params else det._infer
+    assert used_jit._cache_size() == 1
     # all 5 real images contribute stats; the 3 pad replicas do not
     assert result["n_images"] == 5
     # GT count matches the label files exactly (pad replicas would inflate)

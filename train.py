@@ -158,9 +158,14 @@ def train(opt):
     eval_det = None
     if not opt.no_eval and "valid" in data_cfg and \
             os.path.exists(data_cfg["valid"]):
+        # bake_params=False: this Detector gets fresh params every epoch
+        # (refresh_params), and the weight-baked serving jit would pay a
+        # remote recompile per epoch — keep the params-as-argument graph
+        # that compiles once
         eval_det = Detector(opt.cfg, img_size=spec.img_size,
                             conf_thres=opt.conf_thres,
-                            nms_thres=opt.nms_thres)
+                            nms_thres=opt.nms_thres,
+                            bake_params=False)
 
     for epoch in range(start_epoch, opt.epochs):
         dataset.set_epoch(epoch)

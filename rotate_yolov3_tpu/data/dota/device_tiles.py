@@ -78,6 +78,9 @@ class DeviceTilePipeline:
         self.merge_nms_thres = float(merge_nms_thres)
         self.max_merged = int(max_merged)
         self._compiled: Dict[Tuple[int, int], object] = {}
+        # params the compiled buckets were built against (weight-baked
+        # mode): refresh_params on the detector invalidates them
+        self._built_params = None
 
     def bucket_shape(self, h: int, w: int) -> Tuple[int, int]:
         """Pad-up target shape: next slide multiple >= max(dim, subsize)."""
@@ -158,6 +161,12 @@ class DeviceTilePipeline:
                 keep = jnp.pad(keep, (0, self.max_merged - m))
             return out, keep
 
+        if getattr(det, "bake_params", False):
+            # weight-baked serving convention (detector.py): closing the
+            # jit over the fused params lets XLA fold/pre-lay-out them —
+            # measured ~3.5% end-to-end on v5e (docs/PERF.md r5)
+            import functools
+            return jax.jit(functools.partial(run, det.fused_params))
         return jax.jit(run)
 
     def __call__(self, img: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -168,6 +177,11 @@ class DeviceTilePipeline:
         """
         h, w = img.shape[:2]
         hp, wp = self.bucket_shape(h, w)
+        baked = getattr(self.det, "bake_params", False)
+        if baked and self._built_params is not self.det.fused_params:
+            # detector params were refreshed: baked buckets are stale
+            self._compiled.clear()
+            self._built_params = self.det.fused_params
         if (hp, wp) not in self._compiled:
             self._compiled[(hp, wp)] = self._build(hp, wp)
         if (hp, wp) != (h, w):
@@ -185,7 +199,10 @@ class DeviceTilePipeline:
 
             img = jax.device_put(
                 img, NamedSharding(self.det.mesh, P()))
-        dets, mask = self._compiled[(hp, wp)](self.det.fused_params, img)
+        if baked:
+            dets, mask = self._compiled[(hp, wp)](img)
+        else:
+            dets, mask = self._compiled[(hp, wp)](self.det.fused_params, img)
         return np.asarray(dets), np.asarray(mask)
 
     def num_tiles(self, h: int, w: int) -> int:

@@ -153,7 +153,13 @@ if __name__ == "__main__":
             flush=True)
         os._exit(3)
 
-    t = threading.Timer(2400.0, _watchdog)
+    # BENCH_WATCHDOG_S: first-ever compiles of a changed graph can exceed
+    # the 40-min default when the remote compiler is slow (observed
+    # 2026-08-20: ~35 min for the K=128 leg); interactive runs can raise
+    # the budget. The driver's end-of-round run hits the persistent
+    # compile cache, so the default stays driver-safe.
+    t = threading.Timer(float(os.environ.get("BENCH_WATCHDOG_S", 2400)),
+                        _watchdog)
     t.daemon = True
     t.start()
 

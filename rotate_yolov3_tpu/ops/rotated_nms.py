@@ -243,11 +243,16 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
     ~11 µs/img SLOWER than two-stage (1016 vs 1027 img/s, f32 mask; green2
     1021, bf16 mask 1017 — docs/PERF.md r5), so two-stage is the default
     and the fused kernel stays as an option/cross-check.
-    ``decode_kernel`` (None = on for TPU when shapes allow): use the
-    one-hot-MXU gather+decode Pallas kernel (``ops.decode_pallas``)
-    instead of ``decode_gathered`` — measured independently of
-    ``fused_greedy`` since r5. ``mask_dtype="bfloat16"`` halves the fused
-    kernel's kill scratch bytes with bit-identical keep decisions.
+    ``decode_kernel`` (None = OFF since r5): use the one-hot-MXU
+    gather+decode Pallas kernel (``ops.decode_pallas``) instead of
+    ``decode_gathered``. Measured independently of ``fused_greedy`` in
+    the r5 same-session ladders (identical checksums): the kernel COSTS
+    ~3 µs/img at K=128 (1061.0 vs 1064.3 img/s) and ~9–11 µs/img at
+    K=512 (1017.8 vs 1026.9) — the row gather + jnp decode it replaces
+    is cheaper at every product capacity, so the kernel is off by
+    default and stays as an option/cross-check (docs/PERF.md r5).
+    ``mask_dtype="bfloat16"`` halves the fused kernel's kill scratch
+    bytes with bit-identical keep decisions.
     """
     from ..models.yolo_head import decode_gathered, head_scores
 
@@ -262,7 +267,9 @@ def non_max_suppression_fused(head_raws, yolo_specs, conf_thres: float = 0.1,
     nc = yolo_specs[0].num_classes
     nas = {s.na for s in yolo_specs}
     if decode_kernel is None:
-        decode_kernel = jax.default_backend() == "tpu"
+        # r5 on-chip ladders: the decode kernel loses to gather+jnp decode
+        # at both K=128 (-3 us/img) and K=512 (-9..11 us/img) — default off
+        decode_kernel = False
     decoded = None
     if (decode_kernel and iou_matrix_fn is None and len(nas) == 1
             and jax.default_backend() == "tpu"):
